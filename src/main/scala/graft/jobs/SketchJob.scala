@@ -1,0 +1,275 @@
+package graft.jobs
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sketch._
+import graft.sketch.agg.SketchFunctions
+
+/** Per-partition checkpoint row: every sketch built from one input split,
+  * for one role group, plus lineage (partition id, rows seen, wall ms).
+  */
+case class PartitionSketches(
+    partition_id: Int,
+    role: String,
+    rows_seen: Long,
+    wall_ms: Long,
+    hll_conv: Array[Byte],
+    cms_tool: Array[Byte],
+    topk_tool: Array[Byte],
+    tdigest_len: Array[Byte],
+    kll_len: Array[Byte],
+    bloom_conv: Array[Byte])
+
+/** The spark-submit main of the north rule: partition-pruned scan → per-input-
+  * partition sketching (map-side full combine — the raw 10^12 rows are never
+  * shuffled) → per-partition checkpoint files with lineage → distributed
+  * tree merge (Spark partial+final aggregation over the small checkpoint
+  * table) → final per-role results.
+  *
+  * Resumability: each input partition writes `part-NNNNN.ckpt` atomically
+  * (write temp + rename). A re-run with the same input manifest skips
+  * partitions whose checkpoint exists — kill the job at any point and resume
+  * reproduces the identical final sketches. A manifest guards against
+  * resuming over a changed input set or filter.
+  */
+object SketchJob {
+
+  val CkptMagic = 0x47434b50 // "GCKP"
+
+  case class Config(
+      input: String,
+      output: String,
+      checkpointDir: String,
+      dateFrom: Option[String] = None,
+      dateTo: Option[String] = None,
+      hllP: Int = HllSketch.DefaultP,
+      cmsWidth: Int = CmsSketch.DefaultBins,
+      cmsDepth: Int = CmsSketch.DefaultHash,
+      topKCapacity: Int = 100,
+      tdigestCentroids: Int = 100,
+      kllK: Int = 200,
+      bloomWidth: Int = BloomSketch.DefaultBits,
+      bloomDepth: Int = BloomSketch.DefaultHash)
+
+  /** Pruned scan: the ts_date filter reaches the file index (Iceberg-style
+    * partition pruning on the Parquet stand-in layout).
+    */
+  def scan(spark: SparkSession, cfg: Config): DataFrame = {
+    var df = spark.read.parquet(cfg.input)
+    cfg.dateFrom.foreach(d => df = df.filter(col("ts_date") >= lit(d)))
+    cfg.dateTo.foreach(d => df = df.filter(col("ts_date") <= lit(d)))
+    df
+  }
+
+  // ---- checkpoint codec (one file per input partition) ----
+
+  private def encodeCkpt(pid: Int, groups: Seq[PartitionSketches]): Array[Byte] = {
+    def len(p: PartitionSketches) =
+      64 + p.role.length * 3 + Seq(p.hll_conv, p.cms_tool, p.topk_tool,
+        p.tdigest_len, p.kll_len, p.bloom_conv).map(_.length + 4).sum
+    val bb = ByteBuffer.allocate(24 + groups.map(len).sum).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(CkptMagic); bb.putInt(1); bb.putInt(pid); bb.putInt(groups.size)
+    groups.foreach { p =>
+      val rb = p.role.getBytes("UTF-8")
+      bb.putInt(rb.length); bb.put(rb)
+      bb.putLong(p.rows_seen); bb.putLong(p.wall_ms)
+      Seq(p.hll_conv, p.cms_tool, p.topk_tool, p.tdigest_len, p.kll_len, p.bloom_conv)
+        .foreach { a => bb.putInt(a.length); bb.put(a) }
+    }
+    val out = new Array[Byte](bb.position()); bb.flip(); bb.get(out); out
+  }
+
+  def decodeCkpt(bytes: Array[Byte]): Seq[PartitionSketches] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt() == CkptMagic, "bad checkpoint magic")
+    require(bb.getInt() == 1, "bad checkpoint version")
+    val pid = bb.getInt()
+    val n = bb.getInt()
+    (0 until n).map { _ =>
+      val rb = new Array[Byte](bb.getInt()); bb.get(rb)
+      val rows = bb.getLong(); val wall = bb.getLong()
+      def arr(): Array[Byte] = { val a = new Array[Byte](bb.getInt()); bb.get(a); a }
+      PartitionSketches(pid, new String(rb, "UTF-8"), rows, wall,
+        arr(), arr(), arr(), arr(), arr(), arr())
+    }
+  }
+
+  /** Stage 1: sketch every input partition, checkpointing each one atomically;
+    * partitions already checkpointed are skipped (resume).
+    */
+  def buildPartitionSketches(spark: SparkSession, cfg: Config): Unit = {
+    import spark.implicits._
+    val df = scan(spark, cfg)
+      .select(col("conv_id"), col("role"),
+        coalesce(col("tool"), lit("")).as("tool"),
+        length(col("text")).cast("double").as("text_len"))
+    val ckptDir = cfg.checkpointDir
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val c = cfg
+
+    df.as[(String, String, String, Double)].mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      val fs = FileSystem.get(new java.net.URI(ckptDir), hadoopConf.value)
+      val finalPath = new Path(ckptDir, f"part-$pid%05d.ckpt")
+      if (fs.exists(finalPath)) Iterator.empty // resumed: already done
+      else {
+        val t0 = System.nanoTime()
+        final class Group {
+          val hll = HllSketch(c.hllP)
+          val cms = CmsSketch(c.cmsWidth, c.cmsDepth)
+          val topk = SpaceSavingSketch(c.topKCapacity)
+          val td = TDigestSketch(c.tdigestCentroids)
+          val kll = KllSketch(c.kllK)
+          val bloom = BloomSketch(c.bloomWidth, c.bloomDepth)
+          var rows = 0L
+        }
+        val groups = mutable.HashMap.empty[String, Group]
+        rows.foreach { case (convId, role, tool, textLen) =>
+          val g = groups.getOrElseUpdate(role, new Group)
+          g.hll.add(convId)
+          if (tool.nonEmpty) { g.cms.add(tool); g.topk.add(tool) }
+          g.td.add(textLen)
+          g.kll.add(textLen)
+          g.bloom.add(convId)
+          g.rows += 1
+        }
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        val out = groups.toSeq.sortBy(_._1).map { case (role, g) =>
+          PartitionSketches(pid, role, g.rows, wallMs,
+            g.hll.toBytes, g.cms.toBytes, g.topk.toBytes,
+            g.td.toBytes, g.kll.toBytes, g.bloom.toBytes)
+        }
+        val tmp = new Path(ckptDir,
+          f"part-$pid%05d.ckpt.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val os = fs.create(tmp, true)
+        os.write(encodeCkpt(pid, out))
+        os.close()
+        if (!fs.rename(tmp, finalPath)) fs.delete(tmp, false)
+        Iterator.empty: Iterator[Int]
+      }
+    }.count() // force execution
+  }
+
+  /** Stage 2: distributed tree merge of all checkpoint files. Spark's
+    * partial (map-side) + final aggregation over the checkpoint rows IS the
+    * treeReduce two-level merge — each executor merges its checkpoint shard,
+    * then the d-role final groups merge the partials.
+    */
+  def mergeCheckpoints(spark: SparkSession, cfg: Config): Dataset[PartitionSketches] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.ckpt")
+      .load(cfg.checkpointDir)
+      .select("content")
+      .as[Array[Byte]]
+      .flatMap(decodeCkpt(_))
+  }
+
+  def finalResults(spark: SparkSession, cfg: Config): DataFrame = {
+    val fns = SketchFunctions.default
+    val parts = mergeCheckpoints(spark, cfg)
+    parts
+      .groupBy(col("role"))
+      .agg(
+        sum(col("rows_seen")).as("turns"),
+        fns.hllMergeAgg(col("hll_conv")).as("hll_conv"),
+        fns.cmsMergeAgg(col("cms_tool")).as("cms_tool"),
+        fns.topkMergeAgg(col("topk_tool")).as("topk_tool"),
+        fns.tdigestMergeAgg(col("tdigest_len")).as("tdigest_len"),
+        fns.kllMergeAgg(col("kll_len")).as("kll_len"),
+        fns.bloomMergeAgg(col("bloom_conv")).as("bloom_conv"))
+      .select(
+        col("role"), col("turns"),
+        fns.hllCardinality(col("hll_conv")).as("approx_distinct_convs"),
+        fns.topk(col("topk_tool"), lit(5)).as("top5_tools"),
+        fns.cmsQuery(col("cms_tool"), lit("search")).as("cms_search"),
+        fns.cmsQuery(col("cms_tool"), lit("bash")).as("cms_bash"),
+        fns.tdigestQuantile(col("tdigest_len"), lit(0.5)).as("len_p50_td"),
+        fns.tdigestQuantile(col("tdigest_len"), lit(0.99)).as("len_p99_td"),
+        fns.kllQuantile(col("kll_len"), lit(0.5)).as("len_p50_kll"),
+        fns.bloomSize(col("bloom_conv")).as("bloom_conv_size"))
+  }
+
+  /** Input manifest: guards resume against a changed input/filter. */
+  private def manifest(spark: SparkSession, cfg: Config): String = {
+    val files = scan(spark, cfg).inputFiles.sorted
+    val h = files.foldLeft(17L)((acc, f) => acc * 31 + f.hashCode)
+    s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo}"
+  }
+
+  def run(spark: SparkSession, cfg: Config): DataFrame = {
+    val fs = FileSystem.get(
+      new java.net.URI(cfg.checkpointDir), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(cfg.checkpointDir)
+    fs.mkdirs(dir)
+    val manifestPath = new Path(dir, "_manifest")
+    val m = manifest(spark, cfg)
+    if (fs.exists(manifestPath)) {
+      val prev = {
+        val in = fs.open(manifestPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      if (prev != m) { // input changed — checkpoints invalid
+        fs.delete(dir, true); fs.mkdirs(dir)
+      }
+    }
+    if (!fs.exists(manifestPath)) {
+      val os = fs.create(manifestPath, true)
+      os.write(m.getBytes("UTF-8")); os.close()
+    }
+
+    val t0 = System.nanoTime()
+    buildPartitionSketches(spark, cfg)
+    val t1 = System.nanoTime()
+    val res = finalResults(spark, cfg)
+    res.write.mode("overwrite").parquet(cfg.output)
+    val t2 = System.nanoTime()
+
+    // lineage + metrics sidecar
+    import spark.implicits._
+    val lineage = mergeCheckpoints(spark, cfg)
+      .groupBy(col("partition_id"))
+      .agg(sum("rows_seen").as("rows_seen"), max("wall_ms").as("wall_ms"))
+      .orderBy("partition_id")
+      .collect()
+    val totalRows = lineage.map(_.getAs[Long]("rows_seen")).sum
+    val json = {
+      val parts = lineage.map { r =>
+        s"""{"partition_id":${r.getAs[Int]("partition_id")},"rows_seen":${r
+            .getAs[Long]("rows_seen")},"wall_ms":${r.getAs[Long]("wall_ms")}}"""
+      }.mkString("[", ",", "]")
+      s"""{"stage1_sec":${(t1 - t0) / 1e9},"stage2_sec":${(t2 - t1) / 1e9},""" +
+        s""""rows":$totalRows,"throughput_rows_per_sec":${totalRows / ((t2 - t0) / 1e9)},""" +
+        s""""partitions":$parts}"""
+    }
+    val os = fs.create(new Path(cfg.output, "_metrics.json"), true)
+    os.write(json.getBytes("UTF-8")); os.close()
+    spark.read.parquet(cfg.output)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val m = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val cfg = Config(
+      input = m("--input"),
+      output = m("--output"),
+      checkpointDir = m("--checkpoint"),
+      dateFrom = m.get("--date-from"),
+      dateTo = m.get("--date-to"))
+    val spark = SparkSession.builder()
+      .appName("SketchJob")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, cfg).show(10, truncate = false)
+    finally spark.stop()
+  }
+}

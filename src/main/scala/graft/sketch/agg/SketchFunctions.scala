@@ -1,0 +1,159 @@
+package graft.sketch.agg
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.{udaf, udf}
+
+import graft.sketch._
+
+/** One row of a top-k result (StreamSummary `values/counts/errors`,
+  * stream-summary.js:158-200, reshaped relationally: explode the array).
+  */
+case class TopEntry(value: String, count: Long, error: Long)
+
+/** Sketch parameters fixed at registration time. SQL functions cannot take
+  * config scalars as non-column arguments, so each (name, params) pair is a
+  * distinct registered function; call `register` again with a different
+  * prefix for alternate configs.
+  */
+case class SketchConfig(
+    bloomWidth: Int = BloomSketch.DefaultBits,
+    bloomDepth: Int = BloomSketch.DefaultHash,
+    cmsWidth: Int = CmsSketch.DefaultBins,
+    cmsDepth: Int = CmsSketch.DefaultHash,
+    ngramN: Int = 2,
+    ngramCaseSensitive: Boolean = false,
+    topKCapacity: Int = SpaceSavingSketch.DefaultCounters,
+    tdigestCentroids: Int = TDigestSketch.DefaultCentroids,
+    kllK: Int = KllSketch.DefaultK,
+    hllP: Int = HllSketch.DefaultP)
+
+/** Column-API handles + one-call SQL registration for every sketch UDAF and
+  * query UDF (SURVEY.md §2.3/§2.4 — the complete operator surface).
+  */
+class SketchFunctions(cfg: SketchConfig) extends Serializable {
+  import SketchAggs._
+
+  // ---- aggregation UDAFs ----
+  val bloomAgg: UserDefinedFunction = udaf(new BloomAgg(cfg.bloomWidth, cfg.bloomDepth))
+  val cmsAgg: UserDefinedFunction = udaf(new CmsAgg(cfg.cmsWidth, cfg.cmsDepth))
+  val cmmAgg: UserDefinedFunction = udaf(new CmmAgg(cfg.cmsWidth, cfg.cmsDepth))
+  val ngramAgg: UserDefinedFunction = udaf(new NGramAgg(cfg.ngramN, cfg.ngramCaseSensitive))
+  val topkAgg: UserDefinedFunction = udaf(new TopKAgg(cfg.topKCapacity))
+  val topkWeightedAgg: UserDefinedFunction = udaf(new TopKWeightedAgg(cfg.topKCapacity))
+  val tdigestAgg: UserDefinedFunction = udaf(new TDigestAgg(cfg.tdigestCentroids))
+  val kllAgg: UserDefinedFunction = udaf(new KllAgg(cfg.kllK))
+  val hllAgg: UserDefinedFunction = udaf(new HllAgg(cfg.hllP))
+  val hllLongAgg: UserDefinedFunction = udaf(new HllLongAgg(cfg.hllP))
+
+  // ---- sketch-column merge UDAFs (second-level / tree merge) ----
+  val bloomMergeAgg: UserDefinedFunction = udaf(new BloomMergeAgg)
+  val cmsMergeAgg: UserDefinedFunction = udaf(new CmsMergeAgg)
+  val cmmMergeAgg: UserDefinedFunction = udaf(new CmmMergeAgg)
+  val ngramMergeAgg: UserDefinedFunction = udaf(new NGramMergeAgg)
+  val topkMergeAgg: UserDefinedFunction = udaf(new TopKMergeAgg)
+  val tdigestMergeAgg: UserDefinedFunction = udaf(new TDigestMergeAgg)
+  val kllMergeAgg: UserDefinedFunction = udaf(new KllMergeAgg)
+  val hllMergeAgg: UserDefinedFunction = udaf(new HllMergeAgg)
+
+  // ---- scalar query UDFs over serialized sketches (SURVEY.md §2.3) ----
+  val bloomContains: UserDefinedFunction =
+    udf((sk: Array[Byte], v: String) => BloomSketch.fromBytes(sk).query(v))
+  val bloomSize: UserDefinedFunction =
+    udf((sk: Array[Byte]) => BloomSketch.fromBytes(sk).size)
+  val bloomJaccard: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      BloomSketch.fromBytes(a).jaccard(BloomSketch.fromBytes(b)))
+  val bloomCover: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      BloomSketch.fromBytes(a).cover(BloomSketch.fromBytes(b)))
+
+  val cmsQuery: UserDefinedFunction =
+    udf((sk: Array[Byte], v: String) => CmsSketch.fromBytes(sk).query(v))
+  val cmsNum: UserDefinedFunction = udf((sk: Array[Byte]) => CmsSketch.fromBytes(sk).num)
+  val cmsDot: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => CmsSketch.fromBytes(a).dot(CmsSketch.fromBytes(b)))
+  val cmmQuery: UserDefinedFunction =
+    udf((sk: Array[Byte], v: String) => CmmSketch.fromBytes(sk).queryMean(v))
+  val cmmDot: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      CmmSketch.fromBytes(a).dotMean(CmmSketch.fromBytes(b)))
+
+  val ngramQuery: UserDefinedFunction =
+    udf((sk: Array[Byte], g: String) => NGramSketch.fromBytes(sk).query(g))
+  val ngramSize: UserDefinedFunction = udf((sk: Array[Byte]) => NGramSketch.fromBytes(sk).size)
+  val ngramNorm: UserDefinedFunction = udf((sk: Array[Byte]) => NGramSketch.fromBytes(sk).norm)
+  val ngramDot: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      NGramSketch.fromBytes(a).dot(NGramSketch.fromBytes(b)))
+  val ngramCosine: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      NGramSketch.fromBytes(a).cosine(NGramSketch.fromBytes(b)))
+
+  val topk: UserDefinedFunction =
+    udf((sk: Array[Byte], k: Int) =>
+      SpaceSavingSketch.fromBytes(sk).topK(Some(k)).map {
+        case (v, c, e) => TopEntry(v, c, e)
+      })
+  val topkAll: UserDefinedFunction =
+    udf((sk: Array[Byte]) =>
+      SpaceSavingSketch.fromBytes(sk).topK(None).map {
+        case (v, c, e) => TopEntry(v, c, e)
+      })
+  val topkQuery: UserDefinedFunction =
+    udf((sk: Array[Byte], v: String) => SpaceSavingSketch.fromBytes(sk).query(v))
+  val topkError: UserDefinedFunction =
+    udf((sk: Array[Byte], v: String) => SpaceSavingSketch.fromBytes(sk).error(v))
+
+  val tdigestQuantile: UserDefinedFunction =
+    udf((sk: Array[Byte], q: Double) => TDigestSketch.fromBytes(sk).quantile(q))
+  val tdigestCdf: UserDefinedFunction =
+    udf((sk: Array[Byte], v: Double) => TDigestSketch.fromBytes(sk).cdf(v))
+  val tdigestSize: UserDefinedFunction =
+    udf((sk: Array[Byte]) => TDigestSketch.fromBytes(sk).count)
+
+  val kllQuantile: UserDefinedFunction =
+    udf((sk: Array[Byte], q: Double) => KllSketch.fromBytes(sk).quantileLower(q))
+  val kllCdf: UserDefinedFunction =
+    udf((sk: Array[Byte], v: Double) => KllSketch.fromBytes(sk).cdf(v))
+  val kllSize: UserDefinedFunction = udf((sk: Array[Byte]) => KllSketch.fromBytes(sk).totalN)
+
+  val hllEstimate: UserDefinedFunction = udf((sk: Array[Byte]) => HllSketch.fromBytes(sk).estimate)
+  val hllCardinality: UserDefinedFunction =
+    udf((sk: Array[Byte]) => HllSketch.fromBytes(sk).cardinality)
+
+  /** Register every function for SQL under `prefix` (default none):
+    * `SELECT role, hll_cardinality(hll_agg(conv_id)) ... GROUP BY role`.
+    */
+  def register(spark: SparkSession, prefix: String = ""): Unit = {
+    def reg(name: String, f: UserDefinedFunction): Unit =
+      spark.udf.register(prefix + name, f)
+    reg("bloom_agg", bloomAgg); reg("cms_agg", cmsAgg); reg("cmm_agg", cmmAgg)
+    reg("ngram_agg", ngramAgg); reg("topk_agg", topkAgg)
+    reg("topk_weighted_agg", topkWeightedAgg)
+    reg("tdigest_agg", tdigestAgg); reg("kll_agg", kllAgg)
+    reg("hll_agg", hllAgg); reg("hll_agg_long", hllLongAgg)
+    reg("bloom_merge_agg", bloomMergeAgg); reg("cms_merge_agg", cmsMergeAgg)
+    reg("cmm_merge_agg", cmmMergeAgg); reg("ngram_merge_agg", ngramMergeAgg)
+    reg("topk_merge_agg", topkMergeAgg); reg("tdigest_merge_agg", tdigestMergeAgg)
+    reg("kll_merge_agg", kllMergeAgg); reg("hll_merge_agg", hllMergeAgg)
+    reg("bloom_contains", bloomContains); reg("bloom_size", bloomSize)
+    reg("bloom_jaccard", bloomJaccard); reg("bloom_cover", bloomCover)
+    reg("cms_query", cmsQuery); reg("cms_num", cmsNum); reg("cms_dot", cmsDot)
+    reg("cmm_query", cmmQuery); reg("cmm_dot", cmmDot)
+    reg("ngram_query", ngramQuery); reg("ngram_size", ngramSize)
+    reg("ngram_norm", ngramNorm); reg("ngram_dot", ngramDot)
+    reg("ngram_cosine", ngramCosine)
+    reg("topk", topk); reg("topk_all", topkAll)
+    reg("topk_query", topkQuery); reg("topk_error", topkError)
+    reg("tdigest_quantile", tdigestQuantile); reg("tdigest_cdf", tdigestCdf)
+    reg("tdigest_size", tdigestSize)
+    reg("kll_quantile", kllQuantile); reg("kll_cdf", kllCdf); reg("kll_size", kllSize)
+    reg("hll_estimate", hllEstimate); reg("hll_cardinality", hllCardinality)
+  }
+}
+
+object SketchFunctions {
+  lazy val default: SketchFunctions = new SketchFunctions(SketchConfig())
+  def apply(cfg: SketchConfig = SketchConfig()): SketchFunctions = new SketchFunctions(cfg)
+}

@@ -1,0 +1,140 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL++ and KLL have no reference implementation to golden against
+  * (SURVEY.md gap note) — they are verified against their published error
+  * bounds: HLL ±1.04/√m std error (Flajolet/Heule), KLL ~O(1/k) rank error
+  * (Karnin/Lang/Liberty). Spark's own approx_count_distinct/approx_percentile
+  * serve as secondary oracles in the Spark integration suite.
+  */
+class HllKllSpec extends AnyFunSuite {
+
+  test("HLL sparse phase is near-exact for small cardinalities") {
+    (Seq(0, 1, 10, 100, 1000, 3000)).foreach { n =>
+      val h = HllSketch()
+      (0 until n).foreach(i => h.add(s"item-$i"))
+      assert(h.isSparse, s"n=$n should still be sparse")
+      assert(math.abs(h.cardinality - n) <= math.max(1, n / 200), s"n=$n est=${h.cardinality}")
+    }
+  }
+
+  test("HLL dense error within 3x published std error across seeds") {
+    val m = 1 << HllSketch.DefaultP
+    val bound = 3 * 1.04 / math.sqrt(m)
+    Seq(50000, 200000, 1000000).foreach { n =>
+      var worst = 0.0
+      (0 until 3).foreach { seed =>
+        val h = HllSketch()
+        (0 until n).foreach(i => h.add(s"s$seed-item-$i"))
+        assert(!h.isSparse)
+        val rel = math.abs(h.estimate - n) / n
+        worst = math.max(worst, rel)
+      }
+      assert(worst < bound, s"n=$n worst rel err $worst >= $bound")
+    }
+  }
+
+  test("HLL addLong and add(string) both distribute") {
+    val h = HllSketch()
+    (0L until 100000L).foreach(h.addLong)
+    val rel = math.abs(h.estimate - 100000) / 100000.0
+    assert(rel < 3 * 1.04 / math.sqrt(1 << 14), s"rel=$rel")
+  }
+
+  test("HLL merge == sketch of union, in all mode combinations") {
+    def mk(lo: Int, hi: Int): HllSketch = {
+      val h = HllSketch(12)
+      (lo until hi).foreach(i => h.add(s"u-$i"))
+      h
+    }
+    // sparse + sparse
+    val ss = mk(0, 200).mergeInPlace(mk(100, 300))
+    val ssWhole = mk(0, 300)
+    assert(ss.toBytes.toSeq == ssWhole.toBytes.toSeq, "sparse+sparse state parity")
+    // dense + dense (force past promotion threshold: m=4096, m>>2=1024 entries)
+    val dd = mk(0, 3000).mergeInPlace(mk(2000, 6000))
+    val ddWhole = mk(0, 6000)
+    assert(!dd.isSparse && !ddWhole.isSparse)
+    assert(dd.toBytes.toSeq == ddWhole.toBytes.toSeq, "dense+dense state parity")
+    // sparse + dense
+    val sd = mk(0, 200).mergeInPlace(mk(100, 6000))
+    assert(sd.toBytes.toSeq == ddWhole.mergeInPlace(mk(0, 200)).toBytes.toSeq ||
+      math.abs(sd.estimate - 6000) / 6000.0 < 0.05)
+    // associativity is exact: register-max is a semilattice
+    val a = mk(0, 100); val b = mk(50, 150); val c = mk(120, 5000)
+    val left = HllSketch.fromBytes(a.toBytes).mergeInPlace(b).mergeInPlace(c)
+    val right = HllSketch.fromBytes(a.toBytes)
+      .mergeInPlace(HllSketch.fromBytes(b.toBytes).mergeInPlace(c))
+    assert(left.toBytes.toSeq == right.toBytes.toSeq, "merge associativity")
+  }
+
+  test("HLL codec round-trips in both modes") {
+    val sp = HllSketch(); (0 until 50).foreach(i => sp.add(s"x$i"))
+    assert(HllSketch.fromBytes(sp.toBytes).toBytes.toSeq == sp.toBytes.toSeq)
+    assert(HllSketch.fromBytes(sp.toBytes).estimate === sp.estimate)
+    val de = HllSketch(10); (0 until 50000).foreach(i => de.add(s"y$i"))
+    assert(!de.isSparse)
+    assert(HllSketch.fromBytes(de.toBytes).toBytes.toSeq == de.toBytes.toSeq)
+  }
+
+  test("KLL is exact before any compaction") {
+    val k = KllSketch(200)
+    val vals = (1 to 150).map(_.toDouble)
+    new scala.util.Random(5).shuffle(vals).foreach(k.add)
+    assert(k.totalN == 150)
+    // lower-quantile rule: rank floor(q*(n-1))+1
+    Seq(0.0 -> 1.0, 0.5 -> 75.0, 0.25 -> 38.0, 1.0 -> 150.0).foreach { case (q, e) =>
+      val exact = vals.sorted.apply(math.floor(q * 149).toInt)
+      assert(k.quantileLower(q) == exact, s"q=$q got ${k.quantileLower(q)} want $exact")
+    }
+    assert(k.minValue == 1.0 && k.maxValue == 150.0)
+  }
+
+  test("KLL rank error within bound at 100k items") {
+    val rnd = new Golden.Lcg(2024)
+    val k = KllSketch(200)
+    val n = 100000
+    (0 until n).foreach(_ => k.add(rnd.next()))
+    assert(k.totalN == n)
+    // uniform(0,1): true rank of value v is ~v; bound ~2.5/k single-sided
+    Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99).foreach { q =>
+      val est = k.quantileLower(q)
+      assert(math.abs(est - q) < 0.025, s"q=$q est=$est")
+      assert(math.abs(k.cdf(q) - q) < 0.025, s"cdf($q)=${k.cdf(q)}")
+    }
+    assert(k.quantileLower(0.0) == k.minValue)
+    assert(k.quantileLower(1.0) == k.maxValue)
+  }
+
+  test("KLL merge accuracy and weight conservation across merge trees") {
+    val rnd = new Golden.Lcg(31337)
+    val parts = (0 until 16).map { _ =>
+      val k = KllSketch(200)
+      (0 until 10000).foreach(_ => k.add(rnd.next()))
+      k
+    }
+    val left = parts.map(p => KllSketch.fromBytes(p.toBytes)).reduceLeft(_.mergeInPlace(_))
+    assert(left.totalN == 160000L)
+    def tree(xs: Seq[KllSketch]): KllSketch =
+      if (xs.size == 1) xs.head
+      else tree(xs.grouped(2).map { case Seq(a, b) => a.mergeInPlace(b); case Seq(a) => a }.toSeq)
+    val t = tree(parts.map(p => KllSketch.fromBytes(p.toBytes)))
+    assert(t.totalN == 160000L)
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      assert(math.abs(left.quantileLower(q) - q) < 0.03, s"left q=$q")
+      assert(math.abs(t.quantileLower(q) - q) < 0.03, s"tree q=$q")
+    }
+    // retained size stays bounded (~3k for k=200 regardless of n)
+    assert(left.toBytes.length < 40000, s"size ${left.toBytes.length}")
+  }
+
+  test("KLL codec round-trips") {
+    val k = KllSketch(200)
+    (0 until 50000).foreach(i => k.add(i.toDouble))
+    val back = KllSketch.fromBytes(k.toBytes)
+    assert(back.totalN == k.totalN)
+    assert(back.quantileLower(0.5) == k.quantileLower(0.5))
+    assert(back.toBytes.toSeq == k.toBytes.toSeq)
+  }
+}

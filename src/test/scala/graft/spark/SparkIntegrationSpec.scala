@@ -1,0 +1,243 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.{SaltedAgg, SketchJob, TranscriptGen}
+import graft.sketch._
+import graft.sketch.agg.{SketchConfig, SketchFunctions}
+
+/** End-to-end Spark tests: UDAFs via Dataset.agg and SQL GROUP BY, physical
+  * plan checks (ObjectHashAggregate, partition pruning), salted == unsalted,
+  * and SketchJob checkpoint/resume (SURVEY.md §5.5).
+  */
+class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var tdir: String = _
+  private var transcripts: DataFrame = _
+  private lazy val fns = SketchFunctions.default
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tdir = Files.createTempDirectory("graft-it").toString
+    TranscriptGen.write(spark, s"$tdir/transcripts", numConvs = 1500,
+      hotConvs = 3, hotTurns = 500, parallelism = 8)
+    transcripts = spark.read.parquet(s"$tdir/transcripts")
+    transcripts.createOrReplaceTempView("transcripts")
+    fns.register(spark)
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+  }
+
+  test("generator is deterministic and schema matches input_hint") {
+    assert(transcripts.columns.toSet ==
+      Set("conv_id", "turn_idx", "role", "text", "tool", "ts", "ts_date"))
+    val again = TranscriptGen.dataset(spark, 50, 1, 100, parallelism = 3)
+      .orderBy("conv_id", "turn_idx").collect()
+    val again2 = TranscriptGen.dataset(spark, 50, 1, 100, parallelism = 7)
+      .orderBy("conv_id", "turn_idx").collect()
+    assert(again.toSeq == again2.toSeq, "per-turn equality under different parallelism")
+    // planted hot conv
+    val hot = transcripts.groupBy("conv_id").count().orderBy(desc("count")).first()
+    assert(hot.getLong(1) >= 500)
+  }
+
+  test("hll_agg per role matches exact distinct count (sparse near-exact)") {
+    val est = spark.sql(
+      """SELECT role, hll_cardinality(hll_agg(conv_id)) AS d FROM transcripts
+        |GROUP BY role""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = transcripts.groupBy("role")
+      .agg(countDistinct("conv_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (role, e) =>
+      assert(math.abs(est(role) - e) <= math.max(1, e / 100), s"$role: ${est(role)} vs $e")
+    }
+  }
+
+  test("Dataset.agg typed path gives the same sketch as SQL path") {
+    val sqlBytes = spark.sql(
+      "SELECT hll_agg(conv_id) FROM transcripts WHERE role = 'user'")
+      .collect()(0).getAs[Array[Byte]](0)
+    val dsBytes = transcripts.filter(col("role") === "user")
+      .agg(fns.hllAgg(col("conv_id"))).collect()(0).getAs[Array[Byte]](0)
+    assert(sqlBytes.toSeq == dsBytes.toSeq, "identical serialized sketch")
+  }
+
+  test("cms point queries are exact on the small tool domain") {
+    val row = spark.sql(
+      """SELECT cms_query(cms_agg(tool), 'search') AS s,
+        |       cms_query(cms_agg(tool), 'bash') AS b,
+        |       cms_num(cms_agg(tool)) AS n
+        |FROM transcripts WHERE tool IS NOT NULL""".stripMargin).collect()(0)
+    val exact = transcripts.filter(col("tool").isNotNull)
+      .groupBy("tool").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(row.getLong(0) == exact.getOrElse("search", 0L))
+    assert(row.getLong(1) == exact.getOrElse("bash", 0L))
+    assert(row.getLong(2) == exact.values.sum)
+  }
+
+  test("topk_agg returns the exact heavy hitters when capacity covers domain") {
+    val top = spark.sql(
+      """SELECT topk(topk_agg(tool), 5) AS t FROM transcripts
+        |WHERE tool IS NOT NULL""".stripMargin)
+      .selectExpr("inline(t)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = transcripts.filter(col("tool").isNotNull)
+      .groupBy("tool").count().orderBy(desc("count"), asc("tool"))
+      .limit(5).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.map(_._2).toSeq == exact.map(_._2).toSeq, "top-5 counts")
+    assert(top.head._1 == exact.head._1, "heaviest tool")
+  }
+
+  test("tdigest and kll quantiles vs exact percentiles within tolerance") {
+    val row = spark.sql(
+      """SELECT tdigest_quantile(tdigest_agg(cast(length(text) as double)), 0.5) AS td,
+        |       kll_quantile(kll_agg(cast(length(text) as double)), 0.5) AS kll,
+        |       percentile(length(text), 0.5) AS exact
+        |FROM transcripts""".stripMargin).collect()(0)
+    val exact = row.getDouble(2)
+    assert(math.abs(row.getDouble(0) - exact) / exact < 0.1,
+      s"tdigest ${row.getDouble(0)} vs $exact")
+    assert(math.abs(row.getDouble(1) - exact) / exact < 0.1,
+      s"kll ${row.getDouble(1)} vs $exact")
+  }
+
+  test("hll matches Spark's approx_count_distinct as secondary oracle") {
+    val mine = spark.sql(
+      "SELECT hll_estimate(hll_agg(conv_id)) FROM transcripts").collect()(0).getDouble(0)
+    val theirs = transcripts.agg(approx_count_distinct("conv_id")).collect()(0).getLong(0)
+    val exact = transcripts.agg(countDistinct("conv_id")).collect()(0).getLong(0)
+    assert(math.abs(mine - exact) / exact < 0.03)
+    assert(math.abs(mine - theirs) / exact < 0.05)
+  }
+
+  test("sketch UDAFs route through ObjectHashAggregate (live-object buffers)") {
+    val plan = spark.sql(
+      "SELECT role, hll_cardinality(hll_agg(conv_id)) FROM transcripts GROUP BY role")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"plan was:\n$plan")
+  }
+
+  test("ts_date filter prunes partitions at the file index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def filesRead(df: DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.toRdd.count() // execute this exact plan instance so its metrics fill
+      qe.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f.metrics("numFiles").value }
+        .getOrElse(fail("no FileSourceScan in plan"))
+    }
+    val all = filesRead(spark.read.parquet(s"$tdir/transcripts"))
+    val pruned = spark.read.parquet(s"$tdir/transcripts")
+      .filter(col("ts_date") === lit("2025-01-05"))
+    val prunedFiles = filesRead(pruned)
+    assert(prunedFiles < all / 2, s"read $prunedFiles of $all files")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ts_date"))
+  }
+
+  test("salted two-phase agg == unsalted, bitwise for linear sketches") {
+    val unsalted = transcripts.groupBy("role")
+      .agg(fns.hllAgg(col("conv_id")).as("hll"),
+        fns.cmsAgg(col("tool")).as("cms"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toMap
+    val salted = SaltedAgg(transcripts, Seq("role"), col("conv_id"), 8,
+      Seq(fns.hllAgg(col("conv_id")).as("hll"), fns.cmsAgg(col("tool")).as("cms")),
+      Seq(fns.hllMergeAgg(col("hll")).as("hll"), fns.cmsMergeAgg(col("cms")).as("cms")))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toMap
+    assert(salted.keySet == unsalted.keySet)
+    salted.keySet.foreach { role =>
+      assert(salted(role)._1 == unsalted(role)._1, s"hll bytes differ for $role")
+      assert(salted(role)._2 == unsalted(role)._2, s"cms bytes differ for $role")
+    }
+  }
+
+  test("bloom membership over conv ids: no false negatives, jaccard sane") {
+    val sp = spark; import sp.implicits._
+    val skA = transcripts.filter(col("role") === "user")
+      .agg(fns.bloomAgg(col("conv_id"))).collect()(0).getAs[Array[Byte]](0)
+    val skB = transcripts.filter(col("role") === "assistant")
+      .agg(fns.bloomAgg(col("conv_id"))).collect()(0).getAs[Array[Byte]](0)
+    val a = BloomSketch.fromBytes(skA)
+    val userConvs = transcripts.filter(col("role") === "user")
+      .select("conv_id").distinct().as[String].collect()
+    userConvs.take(200).foreach(cid => assert(a.query(cid), s"false negative $cid"))
+    val j = a.jaccard(BloomSketch.fromBytes(skB))
+    assert(j > 0.3 && j <= 1.2, s"jaccard $j") // most convs have both roles
+  }
+
+  test("SketchJob: checkpointed run, full resume, partial resume — identical bytes") {
+    val cfg = SketchJob.Config(
+      input = s"$tdir/transcripts",
+      output = s"$tdir/job-out",
+      checkpointDir = s"$tdir/ckpt")
+    val res1 = SketchJob.run(spark, cfg).orderBy("role").collect()
+    val ckpts = new java.io.File(s"$tdir/ckpt").listFiles()
+      .filter(_.getName.endsWith(".ckpt"))
+    assert(ckpts.nonEmpty, "checkpoints written")
+
+    // full resume: all partitions skip; results identical
+    val res2 = SketchJob.run(spark, cfg).orderBy("role").collect()
+    assert(res1.map(_.toString).toSeq == res2.map(_.toString).toSeq)
+
+    // partial resume: delete half the checkpoints, rerun
+    ckpts.zipWithIndex.filter(_._2 % 2 == 0).foreach(_._1.delete())
+    val res3 = SketchJob.run(spark, cfg).orderBy("role").collect()
+    assert(res1.map(_.toString).toSeq == res3.map(_.toString).toSeq,
+      "resume after partial checkpoint loss reproduces identical results")
+
+    // job results agree with the pure-UDAF path
+    val udaf = spark.sql(
+      """SELECT role, hll_cardinality(hll_agg(conv_id)) AS d FROM transcripts
+        |GROUP BY role""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    res1.foreach { r =>
+      val role = r.getAs[String]("role")
+      assert(r.getAs[Long]("approx_distinct_convs") == udaf(role),
+        s"job vs udaf hll for $role")
+    }
+    // lineage metrics exist
+    assert(new java.io.File(s"$tdir/job-out/_metrics.json").exists())
+  }
+
+  test("ngram similarity between role text profiles via SQL") {
+    val row = spark.sql(
+      """SELECT ngram_cosine(a.ng, b.ng) AS cos, ngram_size(a.ng) AS sa
+        |FROM (SELECT ngram_agg(text) AS ng FROM transcripts WHERE role='user') a,
+        |     (SELECT ngram_agg(text) AS ng FROM transcripts WHERE role='assistant') b
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) > 0.9, s"same token soup => high cosine, got ${row.getDouble(0)}")
+    assert(row.getInt(1) > 50)
+  }
+
+  test("second-level SQL re-aggregation of sketch columns (tree merge)") {
+    val perDate = spark.sql(
+      """SELECT ts_date, hll_agg(conv_id) AS hll FROM transcripts
+        |GROUP BY ts_date""".stripMargin)
+    perDate.createOrReplaceTempView("per_date")
+    val merged = spark.sql(
+      "SELECT hll_cardinality(hll_merge_agg(hll)) FROM per_date").collect()(0).getLong(0)
+    val whole = spark.sql(
+      "SELECT hll_cardinality(hll_agg(conv_id)) FROM transcripts").collect()(0).getLong(0)
+    assert(merged == whole, s"re-agg $merged != direct $whole")
+  }
+}
