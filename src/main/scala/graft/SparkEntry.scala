@@ -1,13 +1,228 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sketch.agg.{SketchConfig, SketchFunctions}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2 over
+  * the driver's parquet tables; `oracleSql` gives the DuckDB-equivalent SQL.
+  * Sketch parameters are sized so the probabilistic answers are exact with
+  * overwhelming probability at verify scale (e.g. 5 event types in a
+  * 27191×9 CMS; KLL k=8192 > group size ⇒ zero compactions ⇒ exact
+  * inverse-CDF quantiles), making the oracle comparison deterministic.
+  * Queries whose outputs are genuinely approximate at scale have no oracle
+  * entry (driver records rows-only) and are additionally bound-checked in
+  * the ScalaTest suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  private val fns = SketchFunctions.default
+  // KLL with zero compactions and t-digest with singleton centroids at
+  // verify scale (nc > πn/2 ⇒ every point its own centroid ⇒ exact extrema)
+  private val exactFns = SketchFunctions(SketchConfig(kllK = 8192, tdigestCentroids = 8192))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = t(spark, "/root/testdata/sf0.001", "events")
+    ev.groupBy(col("event_type"))
+      .agg(
+        fns.hllAgg(col("user_id").cast("string")).as("hll"),
+        fns.tdigestAgg(col("value")).as("td"),
+        count(lit(1)).as("turns"))
+      .select(
+        col("event_type"),
+        fns.hllCardinality(col("hll")).as("approx_users"),
+        fns.tdigestQuantile(col("td"), lit(0.5)).as("value_p50"),
+        col("turns"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CMS point queries (count-min.js:67-78): exact on the small domain
+    "q_cms_event_counts" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val sk = ev.agg(fns.cmsAgg(col("event_type")).as("sk"))
+      ev.select(col("event_type")).distinct()
+        .crossJoin(sk)
+        .select(col("event_type"), fns.cmsQuery(col("sk"), col("event_type")).as("cnt"))
+    },
+    // CMM bias-corrected estimator (count-mean-min.js:31-49)
+    "q_cmm_event_counts" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val sk = ev.agg(fns.cmmAgg(col("event_type")).as("sk"))
+      ev.select(col("event_type")).distinct()
+        .crossJoin(sk)
+        .select(col("event_type"), fns.cmmQuery(col("sk"), col("event_type")).as("est"))
+    },
+    // CMS sketch-space inner product (count-min.js:83-103)
+    "q_cms_dot_events" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_id") % 2 === 0).agg(fns.cmsAgg(col("event_type")).as("a"))
+      val b = ev.filter(col("event_id") % 2 === 1).agg(fns.cmsAgg(col("event_type")).as("b"))
+      a.crossJoin(b).select(fns.cmsDot(col("a"), col("b")).as("dot"))
+    },
+    // StreamSummary top-k (stream-summary.js:158-200): capacity >= domain
+    "q_topk_event_types" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      ev.agg(fns.topkAgg(col("event_type")).as("sk"))
+        .select(explode(fns.topkAll(col("sk"))).as("e"))
+        .select(col("e.value").as("value"), col("e.count").as("cnt"),
+          col("e.error").as("err"))
+    },
+    // Bloom membership (bloom.js:64-77): no false negatives; FPR ~0 at 1MB
+    "q_bloom_brand_membership" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val sk = part.agg(fns.bloomAgg(col("p_brand")).as("sk"))
+      val probes = part.select(col("p_brand").as("probe")).distinct()
+        .unionAll(s.range(1, 3).select(concat(lit("ZZZ_NOPE_"), col("id")).as("probe")))
+      probes.crossJoin(sk)
+        .select(col("probe"), fns.bloomContains(col("sk"), col("probe")).as("present"))
+    },
+    // HLL++ distinct counts (sparse phase exact at this cardinality)
+    "q_hll_users_per_nation" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(fns.hllLongAgg(col("c_custkey")).as("sk"))
+        .select(col("c_nationkey"), fns.hllCardinality(col("sk")).as("d"))
+    },
+    "q_hll_users_per_event_type" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(fns.hllLongAgg(col("user_id")).as("sk"))
+        .select(col("event_type"), fns.hllCardinality(col("sk")).as("d"))
+    },
+    // t-digest extremes + total weight, exact in singleton-centroid regime
+    "q_tdigest_value_extrema" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(exactFns.tdigestAgg(col("value")).as("sk"))
+        .select(col("event_type"),
+          // round(·,6): the reference's mean-recentering (t-digest.js:168)
+          // injects ~1-ulp float noise into min/max; the data is 2-decimal,
+          // so 6-decimal rounding is lossless and both engines agree bitwise
+          round(exactFns.tdigestQuantile(col("sk"), lit(0.0)), 6).as("vmin"),
+          round(exactFns.tdigestQuantile(col("sk"), lit(1.0)), 6).as("vmax"),
+          exactFns.tdigestSize(col("sk")).as("n"))
+    },
+    // KLL inverse-CDF quantiles, exact with zero compactions
+    "q_kll_value_quantiles" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(exactFns.kllAgg(col("value")).as("sk"))
+        .select(col("event_type"),
+          exactFns.kllQuantile(col("sk"), lit(0.25)).as("p25"),
+          exactFns.kllQuantile(col("sk"), lit(0.5)).as("p50"),
+          exactFns.kllQuantile(col("sk"), lit(0.75)).as("p75"),
+          exactFns.kllQuantile(col("sk"), lit(0.99)).as("p99"))
+    },
+    // NGram counting (ngram.js:19-40): exact by construction
+    "q_ngram_gram_counts" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val part = t(s, dir, "part")
+      val sk = part.agg(fns.ngramAgg(col("p_name")).as("sk"))
+      Seq("an", "ol", "ra", "re").toDF("gram")
+        .crossJoin(sk)
+        .select(col("gram"), fns.ngramQuery(col("sk"), col("gram")).as("cnt"))
+    },
+    // NGram similarity surface (ngram.js:62-80)
+    "q_ngram_brand_similarity" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val a = part.filter(col("p_brand") === "Brand#1").agg(fns.ngramAgg(col("p_name")).as("a"))
+      val b = part.filter(col("p_brand") === "Brand#2").agg(fns.ngramAgg(col("p_name")).as("b"))
+      a.crossJoin(b).select(
+        fns.ngramDot(col("a"), col("b")).as("dot"),
+        fns.ngramCosine(col("a"), col("b")).as("cosine"))
+    },
+    // ---- approximate-at-scale paths: rows-only checks (no oracle) ----
+    "q_hll_global_users_estimate" -> { (s, dir) =>
+      t(s, dir, "events").agg(fns.hllAgg(col("user_id").cast("string")).as("sk"))
+        .select(fns.hllEstimate(col("sk")).as("estimate"),
+          fns.hllCardinality(col("sk")).as("cardinality"))
+    },
+    "q_tdigest_value_quantiles" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(fns.tdigestAgg(col("value")).as("sk"))
+        .select(col("event_type"),
+          fns.tdigestQuantile(col("sk"), lit(0.5)).as("p50"),
+          fns.tdigestQuantile(col("sk"), lit(0.9)).as("p90"),
+          fns.tdigestCdf(col("sk"), lit(0.0)).as("cdf_0"))
+    },
+    "q_bloom_jaccard_halves" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_id") % 2 === 0)
+        .agg(fns.bloomAgg(col("user_id").cast("string")).as("a"))
+      val b = ev.filter(col("event_id") % 2 === 1)
+        .agg(fns.bloomAgg(col("user_id").cast("string")).as("b"))
+      a.crossJoin(b).select(
+        fns.bloomJaccard(col("a"), col("b")).as("jaccard"),
+        fns.bloomCover(col("a"), col("b")).as("cover"),
+        fns.bloomSize(col("a")).as("size_a"))
+    })
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the approximate rows-only entries.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_cms_event_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "q_cmm_event_counts" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt FROM events GROUP BY event_type),
+        |     t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events)
+        |SELECT event_type,
+        |       CASE WHEN raw < 0 THEN 0 WHEN raw > cnt THEN cnt ELSE raw END AS est
+        |FROM (SELECT event_type, cnt, cnt - (total - cnt) * (1.0/27190.0) AS raw FROM c, t) x""".stripMargin,
+    "q_cms_dot_events" ->
+      """WITH a AS (SELECT event_type, count(*) AS c FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |     b AS (SELECT event_type, count(*) AS c FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+        |SELECT CAST(COALESCE(SUM(a.c*b.c), 0) AS DOUBLE) AS dot
+        |FROM a JOIN b USING (event_type)""".stripMargin,
+    "q_topk_event_types" ->
+      """SELECT event_type AS value, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_bloom_brand_membership" ->
+      """SELECT p_brand AS probe, TRUE AS present FROM (SELECT DISTINCT p_brand FROM part)
+        |UNION ALL SELECT 'ZZZ_NOPE_1' AS probe, FALSE AS present
+        |UNION ALL SELECT 'ZZZ_NOPE_2' AS probe, FALSE AS present""".stripMargin,
+    "q_hll_users_per_nation" ->
+      "SELECT c_nationkey, count(DISTINCT c_custkey) AS d FROM customer GROUP BY c_nationkey",
+    "q_hll_users_per_event_type" ->
+      "SELECT event_type, count(DISTINCT user_id) AS d FROM events GROUP BY event_type",
+    "q_tdigest_value_extrema" ->
+      """SELECT event_type, round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+        |       CAST(count(value) AS DOUBLE) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_kll_value_quantiles" ->
+      """SELECT event_type,
+        |       quantile_disc(value, 0.25) AS p25,
+        |       quantile_disc(value, 0.5) AS p50,
+        |       quantile_disc(value, 0.75) AS p75,
+        |       quantile_disc(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_ngram_gram_counts" ->
+      """WITH grams AS (
+        |  SELECT lower(substr(p_name, CAST(i AS INT), 2)) AS gram
+        |  FROM (SELECT p_name, unnest(range(1, length(p_name))) AS i FROM part))
+        |SELECT g.gram, (SELECT count(*) FROM grams WHERE grams.gram = g.gram) AS cnt
+        |FROM (SELECT unnest(['an','ol','ra','re']) AS gram) g""".stripMargin,
+    "q_ngram_brand_similarity" ->
+      """WITH ga AS (SELECT gram, count(*) AS c FROM (
+        |       SELECT lower(substr(p_name, CAST(i AS INT), 2)) AS gram
+        |       FROM (SELECT p_name, unnest(range(1, length(p_name))) AS i
+        |             FROM part WHERE p_brand = 'Brand#1')) GROUP BY gram),
+        |     gb AS (SELECT gram, count(*) AS c FROM (
+        |       SELECT lower(substr(p_name, CAST(i AS INT), 2)) AS gram
+        |       FROM (SELECT p_name, unnest(range(1, length(p_name))) AS i
+        |             FROM part WHERE p_brand = 'Brand#2')) GROUP BY gram),
+        |     d AS (SELECT CAST(COALESCE(SUM(ga.c*gb.c), 0) AS DOUBLE) AS dot
+        |           FROM ga JOIN gb USING (gram)),
+        |     na AS (SELECT sqrt(CAST(SUM(c*c) AS DOUBLE)) AS n FROM ga),
+        |     nb AS (SELECT sqrt(CAST(SUM(c*c) AS DOUBLE)) AS n FROM gb)
+        |SELECT d.dot AS dot, d.dot/(na.n*nb.n) AS cosine FROM d, na, nb""".stripMargin)
 }

@@ -124,15 +124,15 @@ final class KllSketch(val k: Int) extends Serializable {
   }
 
   /** Lower quantile: smallest retained item whose cumulative weight reaches
-    * ceil(q·N). With no compactions this equals the exact lower quantile
-    * (DuckDB `quantile_disc` semantics use floor(q·(n−1))+1 ranks; see tests
-    * — our rule matches for the oracle-gated cases via the rank formula).
+    * ceil(q·N) — the classical inverse-CDF discrete quantile. With no
+    * compactions this is EXACT and equals SQL `quantile_disc` (DuckDB uses
+    * the same ceil(q·n) rank; verified empirically).
     */
   def quantileLower(q: Double): Double = {
     if (n == 0) return Double.NaN
     if (q <= 0) return minV
     if (q >= 1) return maxV
-    val target = math.floor(q * (n - 1)).toLong + 1L
+    val target = math.ceil(q * n).toLong
     val (items, weights) = sortedWeighted()
     var cum = 0L
     var i = 0

@@ -83,9 +83,10 @@ class HllKllSpec extends AnyFunSuite {
     val vals = (1 to 150).map(_.toDouble)
     new scala.util.Random(5).shuffle(vals).foreach(k.add)
     assert(k.totalN == 150)
-    // lower-quantile rule: rank floor(q*(n-1))+1
-    Seq(0.0 -> 1.0, 0.5 -> 75.0, 0.25 -> 38.0, 1.0 -> 150.0).foreach { case (q, e) =>
-      val exact = vals.sorted.apply(math.floor(q * 149).toInt)
+    // inverse-CDF rule: rank ceil(q*n), matching SQL quantile_disc
+    Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.99, 1.0).foreach { q =>
+      val exact =
+        if (q <= 0) 1.0 else vals.sorted.apply(math.ceil(q * 150).toInt - 1)
       assert(k.quantileLower(q) == exact, s"q=$q got ${k.quantileLower(q)} want $exact")
     }
     assert(k.minValue == 1.0 && k.maxValue == 150.0)
