@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sketch.agg.{SketchConfig, SketchFunctions}
+import graft.text.TextSqlFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +23,7 @@ object SparkEntry {
   // KLL with zero compactions and t-digest with singleton centroids at
   // verify scale (nc > πn/2 ⇒ every point its own centroid ⇒ exact extrema)
   private val exactFns = SketchFunctions(SketchConfig(kllK = 8192, tdigestCentroids = 8192))
+  private val tfns = TextSqlFunctions.default
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -139,7 +141,65 @@ object SparkEntry {
         fns.ngramDot(col("a"), col("b")).as("dot"),
         fns.ngramCosine(col("a"), col("b")).as("cosine"))
     },
+    // ---- training-pipeline ops over documents/embeddings ----
+    // whitespace token counting (exact, SQL-expressible)
+    "q_token_counts" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          tfns.tokenCountUdf(col("text")).cast("long").as("tokens"))
+    },
+    // exact dedup: hash-groupBy distinct + normalized 64-bit fingerprints
+    "q_dedup_exact" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("docs"),
+          countDistinct(col("text")).as("distinct_texts"),
+          countDistinct(tfns.fingerprintUdf(col("text"))).as("distinct_fps"),
+          (count(lit(1)) - countDistinct(col("text"))).as("dupes"))
+    },
+    // brute-force cosine ANN baseline: top-3 neighbors per query vector
+    "q_ann_top3" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val joined = broadcast(q)
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("s"), asc("neighbor_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    },
     // ---- approximate-at-scale paths: rows-only checks (no oracle) ----
+    // language-ID + quality + fingerprint profile of the documents table
+    "q_text_profile" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          tfns.langIdUdf(col("text")).as("lang_pred"),
+          tfns.qualityScoreUdf(col("text")).as("quality"),
+          tfns.bpeishCountUdf(col("text")).cast("long").as("bpeish_tokens"),
+          tfns.fingerprintUdf(col("text")).as("fp"))
+    },
+    // MinHash-LSH near-dup candidate search: band keys → shuffle join —
+    // the 10^12-doc scale path (no all-pairs); plus SimHash hammings
+    "q_minhash_near_dup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tfns.minhashSigUdf(col("text")).as("sig"),
+          tfns.simhashUdf(col("text")).as("sh"))
+      val banded = docs.select(col("doc_id"), col("sh"),
+        explode(tfns.minhashBandsUdf(col("sig"))).as("band"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          tfns.hammingUdf(col("a.sh"), col("b.sh")).as("hamming"))
+        .distinct()
+      pairs.agg(count(lit(1)).as("candidate_pairs"),
+        min(col("hamming")).as("min_hamming"))
+        .select(col("candidate_pairs"), coalesce(col("min_hamming"), lit(64)).as("min_hamming"))
+    },
     "q_hll_global_users_estimate" -> { (s, dir) =>
       t(s, dir, "events").agg(fns.hllAgg(col("user_id").cast("string")).as("sk"))
         .select(fns.hllEstimate(col("sk")).as("estimate"),
@@ -211,6 +271,44 @@ object SparkEntry {
         |  FROM (SELECT p_name, unnest(range(1, length(p_name))) AS i FROM part))
         |SELECT g.gram, (SELECT count(*) FROM grams WHERE grams.gram = g.gram) AS cnt
         |FROM (SELECT unnest(['an','ol','ra','re']) AS gram) g""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS tokens
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS docs, count(DISTINCT text) AS distinct_texts,
+        |       count(DISTINCT lower(text)) AS distinct_fps,
+        |       count(*) - count(DISTINCT text) AS dupes
+        |FROM documents""".stripMargin,
+    "q_ann_top3" ->
+      """WITH sims AS (
+        |  SELECT e1.vec_id AS query_id, e2.vec_id AS neighbor_id,
+        |         list_cosine_similarity(e1.embedding, e2.embedding) AS s
+        |  FROM embeddings e1 JOIN embeddings e2
+        |    ON e1.vec_id < 5 AND e2.vec_id <> e1.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM sims) ranked
+        |WHERE rank <= 3""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS tokens
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS docs, count(DISTINCT text) AS distinct_texts,
+        |       count(DISTINCT lower(text)) AS distinct_fps,
+        |       count(*) - count(DISTINCT text) AS dupes
+        |FROM documents""".stripMargin,
+    "q_ann_top3" ->
+      """WITH sims AS (
+        |  SELECT e1.vec_id AS query_id, e2.vec_id AS neighbor_id,
+        |         list_cosine_similarity(e1.embedding, e2.embedding) AS s
+        |  FROM embeddings e1 JOIN embeddings e2
+        |    ON e1.vec_id < 5 AND e2.vec_id <> e1.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM sims) ranked
+        |WHERE rank <= 3""".stripMargin,
     "q_ngram_brand_similarity" ->
       """WITH ga AS (SELECT gram, count(*) AS c FROM (
         |       SELECT lower(substr(p_name, CAST(i AS INT), 2)) AS gram

@@ -56,7 +56,12 @@ object SketchJob {
       tdigestCentroids: Int = 100,
       kllK: Int = 200,
       bloomWidth: Int = BloomSketch.DefaultBits,
-      bloomDepth: Int = BloomSketch.DefaultHash)
+      bloomDepth: Int = BloomSketch.DefaultHash,
+      // resume granularity: coalesce the scan into this many chunks, each
+      // checkpointed atomically. 0 = one checkpoint per raw input split.
+      // At 100TB / ~800k splits, per-split checkpoints would write TBs of
+      // sketch state; ~10k chunks keeps checkpoint volume ~0.1% of input.
+      checkpointChunks: Int = 0)
 
   /** Pruned scan: the ts_date filter reaches the file index (Iceberg-style
     * partition pruning on the Parquet stand-in layout).
@@ -86,7 +91,11 @@ object SketchJob {
     val out = new Array[Byte](bb.position()); bb.flip(); bb.get(out); out
   }
 
-  def decodeCkpt(bytes: Array[Byte]): Seq[PartitionSketches] = {
+  def decodeCkpt(gzBytes: Array[Byte]): Seq[PartitionSketches] = {
+    val in = new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(gzBytes), new java.util.zip.Inflater(), 1 << 16)
+    val bytes = in.readAllBytes()
+    in.close()
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.getInt() == CkptMagic, "bad checkpoint magic")
     require(bb.getInt() == 1, "bad checkpoint version")
@@ -106,10 +115,11 @@ object SketchJob {
     */
   def buildPartitionSketches(spark: SparkSession, cfg: Config): Unit = {
     import spark.implicits._
-    val df = scan(spark, cfg)
+    val scanned = scan(spark, cfg)
       .select(col("conv_id"), col("role"),
         coalesce(col("tool"), lit("")).as("tool"),
         length(col("text")).cast("double").as("text_len"))
+    val df = if (cfg.checkpointChunks > 0) scanned.coalesce(cfg.checkpointChunks) else scanned
     val ckptDir = cfg.checkpointDir
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -149,7 +159,10 @@ object SketchJob {
         }
         val tmp = new Path(ckptDir,
           f"part-$pid%05d.ckpt.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-        val os = fs.create(tmp, true)
+        // level-1 deflate: sketch state is sparse-ish and compresses well;
+        // BEST_SPEED keeps checkpoint cost ~3x cheaper than default gzip
+        val os = new java.util.zip.DeflaterOutputStream(fs.create(tmp, true),
+          new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED), 1 << 16)
         os.write(encodeCkpt(pid, out))
         os.close()
         if (!fs.rename(tmp, finalPath)) fs.delete(tmp, false)
@@ -202,7 +215,7 @@ object SketchJob {
   private def manifest(spark: SparkSession, cfg: Config): String = {
     val files = scan(spark, cfg).inputFiles.sorted
     val h = files.foldLeft(17L)((acc, f) => acc * 31 + f.hashCode)
-    s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo}"
+    s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo} chunks=${cfg.checkpointChunks}"
   }
 
   def run(spark: SparkSession, cfg: Config): DataFrame = {

@@ -112,6 +112,9 @@ object TranscriptGen {
     import org.apache.spark.sql.functions._
     dataset(spark, numConvs, hotConvs, hotTurns, parallelism)
       .withColumn("ts_date", to_date(col("ts")))
+      // one writer task per date ⇒ one well-sized file per partition dir
+      // instead of (tasks × dates) small files
+      .repartition(col("ts_date"))
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("ts_date")

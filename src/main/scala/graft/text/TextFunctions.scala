@@ -1,0 +1,181 @@
+package graft.text
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions.{udaf, udf}
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.sketch.core.{Fnv1a, XxHash64}
+
+/** Text-analysis + dedup + similarity operators for large-scale training-data
+  * pipelines: language-ID (stopword/character heuristic), quality scoring,
+  * token counting, document fingerprinting, MinHash/SimHash near-dup
+  * signatures, and embedding cosine similarity. All pure functions — codegen
+  * cannot apply to Scala UDFs, but each is O(|text|) with no allocation
+  * beyond the output, and the scale path (LSH banding) turns dedup into a
+  * plain shuffle-join on band keys.
+  */
+object TextFunctions {
+
+  // ---- language ID: tiny per-language stopword profiles + script check ----
+  private val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "you"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "ich", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans", "je"),
+    "es" -> Set("el", "la", "los", "las", "es", "de", "que", "una", "para", "por", "yo"),
+    "it" -> Set("il", "la", "che", "di", "non", "per", "una", "sono", "con", "del"),
+    "pt" -> Set("o", "a", "os", "de", "que", "uma", "para", "com", "não", "por"),
+    "nl" -> Set("de", "het", "een", "van", "en", "is", "niet", "met", "voor", "dat"))
+
+  /** Heuristic language ID: CJK-script share first, then stopword-profile
+    * vote; "und" (undetermined) when nothing matches.
+    */
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0; var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val b = Character.UnicodeScript.of(c)
+        if (b == Character.UnicodeScript.HAN || b == Character.UnicodeScript.HIRAGANA ||
+          b == Character.UnicodeScript.KATAKANA || b == Character.UnicodeScript.HANGUL) cjk += 1
+      }
+      i += 1
+    }
+    if (letters > 0 && cjk.toDouble / letters > 0.3) return "zh"
+    val tokens = text.toLowerCase(Locale.ROOT).split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (tokens.isEmpty) return "und"
+    var best = "und"; var bestHits = 0
+    Profiles.foreach { case (lang, stop) =>
+      var hits = 0
+      tokens.foreach(t => if (stop.contains(t)) hits += 1)
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    if (bestHits * 20 >= tokens.length) best else "und" // >=5% stopword mass
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: String): Int =
+    if (text == null) 0 else text.split("\\s+").count(_.nonEmpty)
+
+  /** BPE-ish subword count: word-piece regex (letters runs, digit runs,
+    * single punctuation) — a deterministic proxy for tokenizer cost.
+    */
+  private val bpeish = java.util.regex.Pattern.compile("\\p{L}{1,6}|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]")
+  def bpeishCount(text: String): Int = {
+    if (text == null) return 0
+    val m = bpeish.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Quality score in [0,1]: mixes length, alpha ratio, mean word length
+    * sanity, and repetition. Deterministic, documented formula.
+    */
+  def qualityScore(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val n = text.length
+    var alpha = 0; var space = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) alpha += 1
+      else if (c == ' ') space += 1
+      i += 1
+    }
+    val words = space + 1
+    val meanWord = (n - space).toDouble / words
+    val lenScore = math.min(1.0, n / 200.0)
+    val alphaScore = alpha.toDouble / n
+    val wordScore = if (meanWord >= 2 && meanWord <= 12) 1.0 else 0.5
+    val uniq = text.split("\\s+").filter(_.nonEmpty)
+    val repScore = if (uniq.isEmpty) 0.0 else math.min(1.0, uniq.distinct.length * 2.0 / uniq.length)
+    0.25 * (lenScore + alphaScore + wordScore + repScore)
+  }
+
+  /** 64-bit content fingerprint over normalized text (whitespace-collapsed,
+    * lowercased) — exact-dedup key that is stable under trivial reflow.
+    */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    val norm = text.toLowerCase(Locale.ROOT).split("\\s+").filter(_.nonEmpty).mkString(" ")
+    XxHash64.hash(norm, 0xf00dfeedL)
+  }
+
+  /** Cosine similarity of two float vectors (embedding columns). */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  // ---- MinHash UDAF: signature of all shingles in a group (mergeable) ----
+  final class MinHashAgg(k: Int, shingle: Int)
+      extends Aggregator[String, MinHashSketch, Array[Byte]] {
+    def zero: MinHashSketch = MinHashSketch(k)
+    def reduce(b: MinHashSketch, v: String): MinHashSketch = { b.addText(v, shingle); b }
+    def merge(a: MinHashSketch, b: MinHashSketch): MinHashSketch = a.mergeInPlace(b)
+    def finish(b: MinHashSketch): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[MinHashSketch] = Encoders.kryo[MinHashSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+}
+
+/** Column-API + SQL registration for the text/dedup/similarity functions. */
+class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializable {
+  import TextFunctions._
+
+  val langIdUdf: UserDefinedFunction = udf((t: String) => langId(t))
+  val tokenCountUdf: UserDefinedFunction = udf((t: String) => tokenCount(t))
+  val bpeishCountUdf: UserDefinedFunction = udf((t: String) => bpeishCount(t))
+  val qualityScoreUdf: UserDefinedFunction = udf((t: String) => qualityScore(t))
+  val fingerprintUdf: UserDefinedFunction = udf((t: String) => fingerprint(t))
+
+  val minhashSigUdf: UserDefinedFunction =
+    udf((t: String) => MinHashSketch.ofText(t, minHashK, shingle).toBytes)
+  val minhashJaccardUdf: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      MinHashSketch.fromBytes(a).estJaccard(MinHashSketch.fromBytes(b)))
+  val minhashBandsUdf: UserDefinedFunction =
+    udf((sk: Array[Byte]) => MinHashSketch.fromBytes(sk).bandKeys(bands))
+  val minhashAgg: UserDefinedFunction = udaf(new MinHashAgg(minHashK, shingle))
+
+  val simhashUdf: UserDefinedFunction = udf((t: String) => SimHash.ofText(t))
+  val hammingUdf: UserDefinedFunction = udf((a: Long, b: Long) => SimHash.hamming(a, b))
+
+  val cosineUdf: UserDefinedFunction =
+    udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+
+  def register(spark: SparkSession, prefix: String = ""): Unit = {
+    def reg(name: String, f: UserDefinedFunction): Unit = spark.udf.register(prefix + name, f)
+    reg("lang_id", langIdUdf)
+    reg("token_count", tokenCountUdf)
+    reg("bpeish_count", bpeishCountUdf)
+    reg("quality_score", qualityScoreUdf)
+    reg("doc_fingerprint", fingerprintUdf)
+    reg("minhash_sig", minhashSigUdf)
+    reg("minhash_jaccard", minhashJaccardUdf)
+    reg("minhash_bands", minhashBandsUdf)
+    reg("minhash_agg", minhashAgg)
+    reg("simhash", simhashUdf)
+    reg("hamming", hammingUdf)
+    reg("cosine_sim", cosineUdf)
+  }
+}
+
+object TextSqlFunctions {
+  lazy val default: TextSqlFunctions = new TextSqlFunctions(128, 5, 16)
+  def apply(minHashK: Int = 128, shingle: Int = 5, bands: Int = 16): TextSqlFunctions =
+    new TextSqlFunctions(minHashK, shingle, bands)
+}

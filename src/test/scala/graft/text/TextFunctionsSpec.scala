@@ -1,0 +1,108 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text-pipeline operators: MinHash estimate accuracy vs exact Jaccard,
+  * SimHash locality, merge semantics, language-ID on real sentences, and the
+  * deterministic scoring/counting functions.
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+
+  private def shingles(s: String, w: Int = 5): Set[String] = {
+    val t = s.toLowerCase(java.util.Locale.ROOT)
+    (0 to t.length - w).map(i => t.substring(i, i + w)).toSet
+  }
+  private def exactJaccard(a: String, b: String): Double = {
+    val sa = shingles(a); val sb = shingles(b)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest before nightfall comes around"
+
+  test("MinHash: identical texts have identical signatures (est = 1.0)") {
+    val a = MinHashSketch.ofText(base)
+    val b = MinHashSketch.ofText(base)
+    assert(a.sig.toSeq == b.sig.toSeq)
+    assert(a.estJaccard(b) == 1.0)
+  }
+
+  test("MinHash estimate tracks exact Jaccard within ~2/sqrt(k)") {
+    val variants = Seq(
+      base,
+      base.replace("quick", "quack"),
+      base.replace("fox", "cat").replace("dog", "wolf"),
+      base.take(60),
+      "completely different content about spark aggregation pipelines and sketches")
+    val k = 256
+    val tol = 2.0 / math.sqrt(k)
+    for (x <- variants; y <- variants) {
+      val est = MinHashSketch.ofText(x, k).estJaccard(MinHashSketch.ofText(y, k))
+      val exact = exactJaccard(x, y)
+      assert(math.abs(est - exact) <= tol + 0.02, s"est=$est exact=$exact\n x=$x\n y=$y")
+    }
+  }
+
+  test("MinHash merge == signature of concatenated text (set union)") {
+    val a = MinHashSketch.ofText("alpha beta gamma delta epsilon zeta", 128)
+    val b = MinHashSketch.ofText("eta theta iota kappa lambda mu nu xi", 128)
+    val u = MinHashSketch.fromBytes(a.toBytes).mergeInPlace(b)
+    val direct = MinHashSketch(128)
+    direct.addText("alpha beta gamma delta epsilon zeta", 5)
+    direct.addText("eta theta iota kappa lambda mu nu xi", 5)
+    assert(u.sig.toSeq == direct.sig.toSeq, "merge == union of shingle sets")
+  }
+
+  test("MinHash band keys: identical sigs share all bands; dissimilar share none") {
+    val a = MinHashSketch.ofText(base)
+    val b = MinHashSketch.ofText(base)
+    val c = MinHashSketch.ofText("unrelated words entirely disjoint vocabulary paragraph")
+    assert(a.bandKeys(16).toSeq == b.bandKeys(16).toSeq)
+    assert(a.bandKeys(16).toSet.intersect(c.bandKeys(16).toSet).isEmpty)
+  }
+
+  test("SimHash: small edits => small hamming; different texts => large") {
+    val a = SimHash.ofText(base)
+    val aEdit = SimHash.ofText(base.replace("quick", "quack"))
+    val other = SimHash.ofText(
+      "spark catalyst optimizer pushes filters below the aggregation boundary always")
+    assert(SimHash.hamming(a, a) == 0)
+    assert(SimHash.hamming(a, aEdit) <= 14, s"edit dist ${SimHash.hamming(a, aEdit)}")
+    assert(SimHash.hamming(a, other) > 14, s"unrelated dist ${SimHash.hamming(a, other)}")
+  }
+
+  test("language ID recognizes stopword profiles and CJK script") {
+    assert(TextFunctions.langId("the cat sat on the mat and it was happy there") == "en")
+    assert(TextFunctions.langId("der Hund und die Katze sind nicht mit dem Auto gefahren") == "de")
+    assert(TextFunctions.langId("le chat est dans la maison et il ne veut pas sortir") == "fr")
+    assert(TextFunctions.langId("el perro es grande y la casa es de madera para todos") == "es")
+    assert(TextFunctions.langId("今天天气很好我们一起去公园散步吧") == "zh")
+    assert(TextFunctions.langId("") == "und")
+    assert(TextFunctions.langId("zzz qqq xxx www") == "und")
+  }
+
+  test("token counts and quality are deterministic and sane") {
+    assert(TextFunctions.tokenCount("a b  c") == 3)
+    assert(TextFunctions.tokenCount("") == 0)
+    assert(TextFunctions.tokenCount(null) == 0)
+    assert(TextFunctions.bpeishCount("hello, world42") == 4) // hello , world 42
+    val good = TextFunctions.qualityScore(base)
+    val bad = TextFunctions.qualityScore("aa aa aa aa aa aa aa aa")
+    assert(good > bad)
+    assert(good >= 0 && good <= 1)
+  }
+
+  test("fingerprint is reflow-stable and collision-distinct") {
+    val f1 = TextFunctions.fingerprint("Hello   World  foo")
+    val f2 = TextFunctions.fingerprint("hello world foo")
+    assert(f1 == f2, "whitespace/case normalization")
+    assert(TextFunctions.fingerprint("hello world foo!") != f1)
+  }
+
+  test("cosine similarity basics") {
+    assert(TextFunctions.cosine(Seq(1f, 0f), Seq(1f, 0f)) === 1.0)
+    assert(TextFunctions.cosine(Seq(1f, 0f), Seq(0f, 1f)) === 0.0)
+    assert(math.abs(TextFunctions.cosine(Seq(1f, 1f), Seq(1f, 0f)) - math.sqrt(0.5)) < 1e-12)
+  }
+}
