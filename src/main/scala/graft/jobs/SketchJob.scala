@@ -136,7 +136,7 @@ object SketchJob {
           val hll = HllSketch(c.hllP)
           val cms = CmsSketch(c.cmsWidth, c.cmsDepth)
           val topk = SpaceSavingSketch(c.topKCapacity)
-          val td = TDigestSketch(c.tdigestCentroids)
+          val td = TDigestSketch.fast(c.tdigestCentroids)
           val kll = KllSketch(c.kllK)
           val bloom = BloomSketch(c.bloomWidth, c.bloomDepth)
           var rows = 0L

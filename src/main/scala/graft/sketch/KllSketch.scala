@@ -4,6 +4,35 @@ import scala.collection.mutable.ArrayBuffer
 
 import graft.sketch.core.Codec
 
+/** Growable primitive double buffer — avoids per-add boxing of
+  * ArrayBuffer[Double] on the hot ingest path.
+  */
+private[sketch] final class DoubleBuf(initial: Int = 8) extends Serializable {
+  private var a = new Array[Double](math.max(4, initial))
+  private var n = 0
+  def length: Int = n
+  def apply(i: Int): Double = a(i)
+  def add(v: Double): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+    a(n) = v
+    n += 1
+  }
+  def addAll(other: DoubleBuf): Unit = {
+    var i = 0
+    while (i < other.length) { add(other(i)); i += 1 }
+  }
+  def toSortedArray: Array[Double] = {
+    val out = java.util.Arrays.copyOf(a, n)
+    java.util.Arrays.sort(out)
+    out
+  }
+  def clear(): Unit = n = 0
+  def foreach(f: Double => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(a(i)); i += 1 }
+  }
+}
+
 /** KLL streaming quantile sketch for doubles (Karnin, Lang & Liberty 2016,
   * "Optimal Quantile Approximation in Streams"). Absent from the reference
   * library (SURVEY.md gap note); built from the paper and cross-checked
@@ -22,7 +51,7 @@ import graft.sketch.core.Codec
 final class KllSketch(val k: Int) extends Serializable {
   import KllSketch._
 
-  private[sketch] var levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty)
+  private[sketch] var levels: ArrayBuffer[DoubleBuf] = ArrayBuffer(new DoubleBuf())
   private[sketch] var n: Long = 0L
   private[sketch] var minV: Double = Double.NaN
   private[sketch] var maxV: Double = Double.NaN
@@ -37,18 +66,26 @@ final class KllSketch(val k: Int) extends Serializable {
     if (n == 0L || v < minV) minV = v
     if (n == 0L || v > maxV) maxV = v
     n += 1
-    levels(0) += v
+    levels(0).add(v)
     if (size > capacity) compress()
   }
 
   private def size: Int = { var s = 0; levels.foreach(s += _.length); s }
 
+  // capacity only changes when a level is added — cache it (math.pow per
+  // level per add was the ingest hot-path cost)
+  @transient private var capCachedLevels = -1
+  @transient private var capCached = 0
   private def capacity: Int = {
-    var c = 0
     val h = levels.length
-    var l = 0
-    while (l < h) { c += levelCapacity(k, h, l); l += 1 }
-    c
+    if (h != capCachedLevels) {
+      var c = 0
+      var l = 0
+      while (l < h) { c += levelCapacity(k, h, l); l += 1 }
+      capCachedLevels = h
+      capCached = c
+    }
+    capCached
   }
 
   private def nextBit(): Int = {
@@ -78,17 +115,16 @@ final class KllSketch(val k: Int) extends Serializable {
       }
     }
     if (target < 0) return false
-    if (target + 1 == levels.length) levels += ArrayBuffer.empty
-    val buf = levels(target).toArray
-    java.util.Arrays.sort(buf)
+    if (target + 1 == levels.length) levels += new DoubleBuf()
+    val buf = levels(target).toSortedArray
     val odd = buf.length % 2 == 1
     val end = if (odd) buf.length - 1 else buf.length
     val off = nextBit()
     val up = levels(target + 1)
     var i = off
-    while (i < end) { up += buf(i); i += 2 }
-    val keep = ArrayBuffer.empty[Double]
-    if (odd) keep += buf(buf.length - 1)
+    while (i < end) { up.add(buf(i)); i += 2 }
+    val keep = new DoubleBuf()
+    if (odd) keep.add(buf(buf.length - 1))
     levels(target) = keep
     true
   }
@@ -171,10 +207,10 @@ final class KllSketch(val k: Int) extends Serializable {
   def mergeInPlace(that: KllSketch): this.type = {
     require(that.k == k, "KLL parameters do not match.")
     if (that.n == 0) return this
-    while (levels.length < that.levels.length) levels += ArrayBuffer.empty
+    while (levels.length < that.levels.length) levels += new DoubleBuf()
     var l = 0
     while (l < that.levels.length) {
-      levels(l) ++= that.levels(l)
+      levels(l).addAll(that.levels(l))
       l += 1
     }
     if (n == 0) { minV = that.minV; maxV = that.maxV }
@@ -198,7 +234,7 @@ final class KllSketch(val k: Int) extends Serializable {
     bb.putInt(levels.length)
     levels.foreach { buf =>
       bb.putInt(buf.length)
-      buf.foreach(bb.putDouble)
+      buf.foreach(v => bb.putDouble(v))
     }
     Codec.finish(bb)
   }
@@ -229,12 +265,12 @@ object KllSketch {
     val nl = bb.getInt()
     sk.levels = ArrayBuffer.tabulate(nl) { _ =>
       val len = bb.getInt()
-      val buf = new ArrayBuffer[Double](len)
+      val buf = new DoubleBuf(len)
       var i = 0
-      while (i < len) { buf += bb.getDouble(); i += 1 }
+      while (i < len) { buf.add(bb.getDouble()); i += 1 }
       buf
     }
-    if (sk.levels.isEmpty) sk.levels = ArrayBuffer(ArrayBuffer.empty)
+    if (sk.levels.isEmpty) sk.levels = ArrayBuffer(new DoubleBuf())
     sk
   }
 }

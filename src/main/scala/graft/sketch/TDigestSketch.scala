@@ -13,7 +13,8 @@ import graft.sketch.core.Codec
   * min/max (t-digest.js:286-293, confirmed empirically) — ours feeds all
   * centroids and keeps true extrema (SURVEY.md §2.4).
   */
-final class TDigestSketch(val compression: Int) extends Serializable {
+final class TDigestSketch(val compression: Int, tempSizeOverride: Int = 0)
+    extends Serializable {
   import TDigestSketch._
 
   private val size = 2 * math.ceil(compression.toDouble).toInt
@@ -29,7 +30,8 @@ final class TDigestSketch(val compression: Int) extends Serializable {
   private var mergeWeight: Array[Double] = new Array[Double](size)
   private var mergeMean: Array[Double] = new Array[Double](size)
 
-  private val tempSize = numTemp(compression)
+  private val tempSize =
+    if (tempSizeOverride > 0) tempSizeOverride else numTemp(compression)
   private var unmergedSum: Double = 0.0
   private var tempLast: Int = 0
   private var tempWeight: Array[Double] = new Array[Double](tempSize)
@@ -60,12 +62,28 @@ final class TDigestSketch(val compression: Int) extends Serializable {
     val u = mean
     var n = 0
 
-    // stable sort of temp indices by value, like the JS Array#sort path
-    val order = new Array[Integer](tn)
-    var i0 = 0
-    while (i0 < tn) { order(i0) = Integer.valueOf(i0); i0 += 1 }
-    java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
-      java.lang.Double.compare(tu(a.intValue), tu(b.intValue)))
+    // Sort temp values. Hot path: all weights are 1 (row ingestion), where
+    // equal-weight ties are indistinguishable, so an unstable primitive sort
+    // of the values produces bit-identical merges to the reference's stable
+    // index sort — and avoids boxing. Weighted entries (digest merges) take
+    // the stable boxed path, matching the JS Array#sort semantics.
+    var allOnes = true
+    var c0 = 0
+    while (allOnes && c0 < tn) { if (tw(c0) != 1.0) allOnes = false; c0 += 1 }
+    var sortedVals: Array[Double] = null
+    var order: Array[Integer] = null
+    if (allOnes) {
+      sortedVals = java.util.Arrays.copyOfRange(tu, 0, tn)
+      java.util.Arrays.sort(sortedVals)
+    } else {
+      order = new Array[Integer](tn)
+      var i0 = 0
+      while (i0 < tn) { order(i0) = Integer.valueOf(i0); i0 += 1 }
+      java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
+        java.lang.Double.compare(tu(a.intValue), tu(b.intValue)))
+    }
+    @inline def tVal(i: Int): Double = if (allOnes) sortedVals(i) else tu(order(i).intValue)
+    @inline def tWt(i: Int): Double = if (allOnes) 1.0 else tw(order(i).intValue)
 
     if (totalSum > 0) n = last + 1
     last = 0
@@ -74,10 +92,9 @@ final class TDigestSketch(val compression: Int) extends Serializable {
 
     var i = 0; var j = 0; var k1 = 0.0; var sum = 0.0
     while (i < tn && j < n) {
-      val ii = order(i).intValue
-      if (tu(ii) <= u(j)) {
-        sum += tw(ii)
-        k1 = mergeCentroid(sum, k1, tw(ii), tu(ii))
+      if (tVal(i) <= u(j)) {
+        sum += tWt(i)
+        k1 = mergeCentroid(sum, k1, tWt(i), tVal(i))
         i += 1
       } else {
         sum += w(j)
@@ -86,9 +103,8 @@ final class TDigestSketch(val compression: Int) extends Serializable {
       }
     }
     while (i < tn) {
-      val ii = order(i).intValue
-      sum += tw(ii)
-      k1 = mergeCentroid(sum, k1, tw(ii), tu(ii))
+      sum += tWt(i)
+      k1 = mergeCentroid(sum, k1, tWt(i), tVal(i))
       i += 1
     }
     while (j < n) {
@@ -244,6 +260,16 @@ object TDigestSketch {
 
   def apply(compression: Int = DefaultCentroids): TDigestSketch =
     new TDigestSketch(compression)
+
+  /** Throughput-oriented sizing for the Spark agg hot path: a temp buffer of
+    * 8×nc amortizes the asin-heavy compaction ~10× better than the
+    * reference's k·log2k≈nc sizing (t-digest.js:48-56) at ~13 KB extra per
+    * group. Same algorithm, same error bounds; compaction boundaries (and
+    * hence exact centroid positions) differ from the reference-parity
+    * sizing, which golden tests keep using via `apply`.
+    */
+  def fast(compression: Int = DefaultCentroids): TDigestSketch =
+    new TDigestSketch(compression, 8 * math.max(1, compression))
 
   def fromBytes(bytes: Array[Byte]): TDigestSketch = {
     val bb = Codec.reader(bytes, Codec.TagTDigest)

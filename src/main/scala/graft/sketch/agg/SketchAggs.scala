@@ -86,7 +86,7 @@ object SketchAggs {
 
   final class TDigestAgg(nc: Int)
       extends Aggregator[java.lang.Double, TDigestSketch, Array[Byte]] {
-    def zero: TDigestSketch = TDigestSketch(nc)
+    def zero: TDigestSketch = TDigestSketch.fast(nc)
     def reduce(b: TDigestSketch, v: java.lang.Double): TDigestSketch = {
       if (v != null) b.add(v.doubleValue()); b
     }
