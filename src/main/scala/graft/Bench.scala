@@ -64,7 +64,12 @@ object Bench {
         fns.kllAgg(col("len")).as("kll"),
         fns.bloomAgg(col("conv_id")).as("bloom"),
         count(lit(1)).as("turns"))
-    out.select(sum(col("turns"))).collect()(0).getLong(0)
+    // collect the FULL rows (sketch bytes included): selecting only the
+    // count would let Catalyst prune every sketch aggregate out of the plan
+    // and benchmark a metadata-only count
+    val rows = out.collect()
+    require(rows.forall(_.getAs[Array[Byte]]("hll").nonEmpty))
+    rows.map(_.getAs[Long]("turns")).sum
   }
 
   /** The SketchJob path (mapPartitions full map-side combine + per-partition
