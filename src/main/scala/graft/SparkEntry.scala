@@ -214,6 +214,23 @@ object SparkEntry {
           fns.tdigestQuantile(col("sk"), lit(0.9)).as("p90"),
           fns.tdigestCdf(col("sk"), lit(0.0)).as("cdf_0"))
     },
+    // flagship latency shape: lag() window per entity → t-digest of deltas
+    // (SURVEY.md §7.3); approximate → rows-only
+    "q_latency_quantiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val deltas = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select((unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+          .cast("double").as("delta_us"))
+      deltas.agg(fns.tdigestAgg(col("delta_us")).as("sk"))
+        .select(
+          fns.tdigestQuantile(col("sk"), lit(0.5)).as("p50_us"),
+          fns.tdigestQuantile(col("sk"), lit(0.95)).as("p95_us"),
+          fns.tdigestSize(col("sk")).as("n"))
+    },
     "q_bloom_jaccard_halves" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       val a = ev.filter(col("event_id") % 2 === 0)

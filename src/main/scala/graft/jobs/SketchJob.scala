@@ -186,9 +186,11 @@ object SketchJob {
       .flatMap(decodeCkpt(_))
   }
 
-  def finalResults(spark: SparkSession, cfg: Config): DataFrame = {
+  def finalResults(spark: SparkSession, cfg: Config): DataFrame =
+    finalResultsFrom(mergeCheckpoints(spark, cfg))
+
+  def finalResultsFrom(parts: Dataset[PartitionSketches]): DataFrame = {
     val fns = SketchFunctions.default
-    val parts = mergeCheckpoints(spark, cfg)
     parts
       .groupBy(col("role"))
       .agg(
@@ -242,13 +244,16 @@ object SketchJob {
     val t0 = System.nanoTime()
     buildPartitionSketches(spark, cfg)
     val t1 = System.nanoTime()
-    val res = finalResults(spark, cfg)
+    // one decode pass shared by the final merge and the lineage summary
+    val parts = mergeCheckpoints(spark, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = finalResultsFrom(parts)
     res.write.mode("overwrite").parquet(cfg.output)
     val t2 = System.nanoTime()
 
     // lineage + metrics sidecar
     import spark.implicits._
-    val lineage = mergeCheckpoints(spark, cfg)
+    val lineage = parts
       .groupBy(col("partition_id"))
       .agg(sum("rows_seen").as("rows_seen"), max("wall_ms").as("wall_ms"))
       .orderBy("partition_id")
@@ -265,6 +270,7 @@ object SketchJob {
     }
     val os = fs.create(new Path(cfg.output, "_metrics.json"), true)
     os.write(json.getBytes("UTF-8")); os.close()
+    parts.unpersist()
     spark.read.parquet(cfg.output)
   }
 

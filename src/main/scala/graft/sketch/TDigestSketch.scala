@@ -278,6 +278,12 @@ object TDigestSketch {
     val mx = bb.getDouble()
     val means = Codec.readDoubleArray(bb)
     val weights = Codec.readDoubleArray(bb)
+    fromCentroids(nc, mn, mx, means, weights)
+  }
+
+  /** Rebuild from centroid state (shared by the binary and JSON codecs). */
+  def fromCentroids(nc: Int, mn: Double, mx: Double,
+      means: Array[Double], weights: Array[Double]): TDigestSketch = {
     val td = new TDigestSketch(nc)
     if (means.nonEmpty) {
       var sum = 0.0
