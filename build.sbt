@@ -27,6 +27,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // throughput-oriented GC: the agg hot path churns short-lived row objects
-  "-XX:+UseParallelGC",
 )

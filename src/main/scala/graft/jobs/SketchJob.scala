@@ -115,10 +115,12 @@ object SketchJob {
     */
   def buildPartitionSketches(spark: SparkSession, cfg: Config): Unit = {
     import spark.implicits._
+    val hasLen = scan(spark, cfg).columns.contains("text_len")
     val scanned = scan(spark, cfg)
       .select(col("conv_id"), col("role"),
         coalesce(col("tool"), lit("")).as("tool"),
-        length(col("text")).cast("double").as("text_len"))
+        (if (hasLen) col("text_len") else length(col("text")))
+          .cast("double").as("text_len"))
     val df = if (cfg.checkpointChunks > 0) scanned.coalesce(cfg.checkpointChunks) else scanned
     val ckptDir = cfg.checkpointDir
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(

@@ -112,6 +112,9 @@ object TranscriptGen {
     import org.apache.spark.sql.functions._
     dataset(spark, numConvs, hotConvs, hotTurns, parallelism)
       .withColumn("ts_date", to_date(col("ts")))
+      // derived column: metric queries over turn length then prune the wide
+      // text column entirely (columnar scan reads ~1/10 the bytes)
+      .withColumn("text_len", length(col("text")))
       // one writer task per date ⇒ one well-sized file per partition dir
       // instead of (tasks × dates) small files
       .repartition(col("ts_date"))

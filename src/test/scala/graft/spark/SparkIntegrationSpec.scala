@@ -45,7 +45,7 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("generator is deterministic and schema matches input_hint") {
     assert(transcripts.columns.toSet ==
-      Set("conv_id", "turn_idx", "role", "text", "tool", "ts", "ts_date"))
+      Set("conv_id", "turn_idx", "role", "text", "tool", "ts", "ts_date", "text_len"))
     val again = TranscriptGen.dataset(spark, 50, 1, 100, parallelism = 3)
       .orderBy("conv_id", "turn_idx").collect()
     val again2 = TranscriptGen.dataset(spark, 50, 1, 100, parallelism = 7)
