@@ -173,6 +173,37 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     },
+    // ANN scale path: LSH bucket equi-join (no cross join) + exact rerank;
+    // reports recall@1 of the bucket-join pipeline vs the brute-force oracle
+    "q_ann_lsh_recall" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val banded = emb.select(col("vec_id"), col("embedding"),
+        explode(tfns.annBucketsParamUdf(col("embedding"), lit(10), lit(12))).as("bucket"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          col("a.embedding").as("qe"), col("b.embedding").as("ne"))
+        .distinct()
+        .select(col("query_id"), col("neighbor_id"),
+          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("s"), asc("neighbor_id"))
+      val lshTop = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("lsh_top1"))
+      // brute-force truth for recall
+      val bf = broadcast(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("bf_top1"))
+      lshTop.join(bf, "query_id")
+        .agg(count(lit(1)).as("queries_with_candidates"),
+          sum(when(col("lsh_top1") === col("bf_top1"), 1).otherwise(0)).as("top1_agreement"))
+    },
     // ---- approximate-at-scale paths: rows-only checks (no oracle) ----
     // language-ID + quality + fingerprint profile of the documents table
     "q_text_profile" -> { (s, dir) =>
@@ -223,7 +254,8 @@ object SparkEntry {
       val deltas = ev
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .filter(col("prev_ts").isNotNull)
-        .select((unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .select((unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("prev_ts").cast("timestamp")))
           .cast("double").as("delta_us"))
       deltas.agg(fns.tdigestAgg(col("delta_us")).as("sk"))
         .select(

@@ -1,0 +1,127 @@
+package graft.mm
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+import graft.sketch.core.XxHash64
+
+/** Typed metadata for an opaque media blob (image/audio/video treated as
+  * `binary` columns with a small parseable header).
+  */
+case class MediaMeta(kind: String, width: Int, height: Int, channels: Int, bytes: Long)
+
+/** Multimodal-column plumbing: media as opaque BinaryType columns + typed
+  * metadata, with decode / feature-extract / frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the PIXEL DECODE IS A
+  * DETERMINISTIC STUB (hash-derived features, clearly marked below) — but
+  * everything Spark-side is real and tested: the binary header format and
+  * its parser, UDF signatures, schemas (struct/array outputs), batching via
+  * mapPartitions, and the partition behavior of a decode pipeline. Swapping
+  * `stubPixels` for a real codec (ImageIO/JNI) changes no plan shape.
+  */
+object Multimodal {
+
+  final val Magic: Byte = 0xAB.toByte
+  val Kinds = Array("image", "audio", "video")
+
+  /** Real header codec: [magic, kindTag, width:4, height:4, channels:1,
+    * payload…] little-endian.
+    */
+  def encodeMedia(kind: String, width: Int, height: Int, channels: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(11 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(Magic)
+    bb.put(Kinds.indexOf(kind).toByte)
+    bb.putInt(width); bb.putInt(height)
+    bb.put(channels.toByte)
+    bb.put(payload)
+    bb.array()
+  }
+
+  def parseMeta(bytes: Array[Byte]): MediaMeta = {
+    require(bytes != null && bytes.length >= 11 && bytes(0) == Magic, "not a media blob")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.get()
+    val kind = Kinds(bb.get().toInt)
+    val w = bb.getInt(); val h = bb.getInt(); val c = bb.get().toInt
+    MediaMeta(kind, w, h, c, bytes.length.toLong)
+  }
+
+  /** ======== STUB ========
+    * Deterministic fake of the pixel/sample decode: derives `dim` floats
+    * from a rolling hash of the payload. A real deployment replaces ONLY
+    * this function with an actual codec; every caller keeps its signature.
+    */
+  private def stubPixels(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val h = XxHash64.hashLong(XxHash64.hashBytes(payload, i.toLong), 0xfeedfaceL)
+      out(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction: header-parse (real) + decode (stub) + L2-normalize
+    * (real).
+    */
+  def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val meta = parseMeta(bytes)
+    val raw = stubPixels(java.util.Arrays.copyOfRange(bytes, 11, bytes.length), dim)
+    var norm = 0.0
+    raw.foreach(v => norm += v.toDouble * v.toDouble)
+    val inv = if (norm > 0) (1.0 / math.sqrt(norm)).toFloat else 0f
+    raw.map(_ * inv)
+  }
+
+  /** Frame sampling: split the payload into `n` equal byte ranges, each
+    * re-wrapped as a standalone media blob (real byte plumbing; real codecs
+    * would cut on keyframes).
+    */
+  def frameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val meta = parseMeta(bytes)
+    val payload = java.util.Arrays.copyOfRange(bytes, 11, bytes.length)
+    if (payload.isEmpty || n <= 0) return Seq.empty
+    val step = math.max(1, payload.length / n)
+    (0 until n).map { i =>
+      val from = math.min(i * step, payload.length - 1)
+      val to = math.min(from + step, payload.length)
+      encodeMedia(meta.kind, meta.width, meta.height, meta.channels,
+        java.util.Arrays.copyOfRange(payload, from, to))
+    }
+  }
+
+  /** Synthetic deterministic media blob for tests/bench. */
+  def synthetic(id: Long, kind: String = "image"): Array[Byte] = {
+    val r = XxHash64.hashLong(id, 0x1234abcdL)
+    val w = 16 + (r & 0x3f).toInt
+    val h = 16 + ((r >>> 8) & 0x3f).toInt
+    val payload = new Array[Byte](w * h)
+    var i = 0
+    while (i < payload.length) {
+      payload(i) = (XxHash64.hashLong(r + i, 7L) & 0xff).toByte
+      i += 1
+    }
+    encodeMedia(kind, w, h, 1, payload)
+  }
+
+  // ---- Spark surface ----
+  val mediaMetaUdf: UserDefinedFunction = udf((b: Array[Byte]) => parseMeta(b))
+  val mediaFeaturesUdf: UserDefinedFunction =
+    udf((b: Array[Byte], dim: Int) => features(b, dim))
+  val frameSampleUdf: UserDefinedFunction =
+    udf((b: Array[Byte], n: Int) => frameSample(b, n))
+  val syntheticMediaUdf: UserDefinedFunction = udf((id: Long) => synthetic(id))
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("media_meta", mediaMetaUdf)
+    spark.udf.register("media_features", mediaFeaturesUdf)
+    spark.udf.register("media_frames", frameSampleUdf)
+    spark.udf.register("synthetic_media", syntheticMediaUdf)
+  }
+}

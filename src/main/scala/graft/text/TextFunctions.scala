@@ -157,6 +157,14 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
   val cosineUdf: UserDefinedFunction =
     udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
 
+  /** ANN scale path: LSH bucket keys for an embedding (join key, no cross
+    * join); 8 tables x 12 bits by default.
+    */
+  val annBucketsUdf: UserDefinedFunction =
+    udf((v: Seq[Float]) => VectorLsh.bucketKeys(v, 12, 8))
+  val annBucketsParamUdf: UserDefinedFunction =
+    udf((v: Seq[Float], bits: Int, tables: Int) => VectorLsh.bucketKeys(v, bits, tables))
+
   def register(spark: SparkSession, prefix: String = ""): Unit = {
     def reg(name: String, f: UserDefinedFunction): Unit = spark.udf.register(prefix + name, f)
     reg("lang_id", langIdUdf)
@@ -171,6 +179,8 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
     reg("simhash", simhashUdf)
     reg("hamming", hammingUdf)
     reg("cosine_sim", cosineUdf)
+    reg("ann_buckets", annBucketsUdf)
+    reg("ann_buckets_p", annBucketsParamUdf)
   }
 }
 

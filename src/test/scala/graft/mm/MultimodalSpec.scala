@@ -1,0 +1,72 @@
+package graft.mm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal binary-column plumbing: header codec, schemas, UDF signatures,
+  * frame sampling, and distributed feature extraction over a BinaryType
+  * column (decode itself is a documented deterministic stub).
+  */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .appName("graft-mm-test")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Multimodal.register(spark)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("header codec round-trips; parser rejects garbage") {
+    val blob = Multimodal.encodeMedia("image", 32, 24, 3, Array[Byte](1, 2, 3))
+    val meta = Multimodal.parseMeta(blob)
+    assert(meta == MediaMeta("image", 32, 24, 3, blob.length.toLong))
+    intercept[IllegalArgumentException](Multimodal.parseMeta(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](Multimodal.parseMeta(null))
+  }
+
+  test("frame sampling preserves kind/dims and splits payload bytes") {
+    val blob = Multimodal.synthetic(5, "video")
+    val frames = Multimodal.frameSample(blob, 4)
+    assert(frames.size == 4)
+    val parent = Multimodal.parseMeta(blob)
+    frames.foreach { f =>
+      val m = Multimodal.parseMeta(f)
+      assert(m.kind == "video" && m.width == parent.width && m.height == parent.height)
+    }
+  }
+
+  test("distributed decode pipeline: binary column → meta struct + features") {
+    val df = spark.range(0, 100, 1, 4)
+      .selectExpr("id", "synthetic_media(id) AS blob")
+      .selectExpr("id", "media_meta(blob) AS meta", "media_features(blob, 16) AS feat",
+        "media_frames(blob, 3) AS frames")
+    val rows = df.collect()
+    assert(rows.length == 100)
+    // schema shape: struct + float array + array<binary>
+    assert(df.schema("meta").dataType.typeName == "struct")
+    assert(df.schema("feat").dataType.simpleString == "array<float>")
+    assert(df.schema("frames").dataType.simpleString == "array<binary>")
+    rows.foreach { r =>
+      val feat = r.getSeq[Float](2)
+      assert(feat.length == 16)
+      val norm = feat.map(v => v.toDouble * v.toDouble).sum
+      assert(math.abs(norm - 1.0) < 1e-5, "features L2-normalized")
+      assert(r.getSeq[Array[Byte]](3).size == 3)
+    }
+    // determinism across partitions/runs
+    val again = spark.range(0, 100, 1, 7)
+      .selectExpr("id", "media_features(synthetic_media(id), 16) AS feat")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { r =>
+      assert(again(r.getLong(0)) == r.getSeq[Float](2), "partition-count independent")
+    }
+  }
+}
