@@ -191,8 +191,10 @@ object SparkEntry {
       val lshTop = cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id").as("lsh_top1"))
-      // brute-force truth for recall
-      val bf = broadcast(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      // brute-force truth for recall, over a 200-query sample (the exact
+      // all-pairs pass is O(n^2) and only needed as a measuring stick)
+      val bf = broadcast(emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),

@@ -101,6 +101,26 @@ class TDigestGoldenSpec extends AnyFunSuite {
     assert(m.quantile(1) === 2.0)
   }
 
+  test("normal-distribution quantiles within EPS=0.05 (t-digest.test.js:42-84 parity)") {
+    // Box–Muller over the shared LCG; reference asserts the standard normal
+    // quantile targets at 0.05 absolute tolerance on 10k samples
+    val rnd = new Golden.Lcg(77)
+    def gauss(): Double = {
+      val u1 = math.max(rnd.next(), 1e-12)
+      val u2 = rnd.next()
+      math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2)
+    }
+    Seq(TDigestSketch(100), TDigestSketch.fast(100)).foreach { td =>
+      (0 until 10000).foreach(_ => td.add(gauss()))
+      val targets = Seq(0.1 -> -1.28155, 0.25 -> -0.67449, 0.5 -> 0.0,
+        0.75 -> 0.67449, 0.9 -> 1.28155)
+      targets.foreach { case (q, e) =>
+        assert(math.abs(td.quantile(q) - e) < 0.05, s"q=$q got ${td.quantile(q)}")
+        assert(math.abs(td.cdf(e) - q) < 0.05, s"cdf($e) got ${td.cdf(e)}")
+      }
+    }
+  }
+
   test("quantile and cdf are monotonic") {
     val rnd = new Golden.Lcg(1234)
     val td = TDigestSketch(100)
