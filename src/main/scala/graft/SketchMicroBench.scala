@@ -28,7 +28,10 @@ object SketchMicroBench {
     time("tdigest-fast")(i => tdf.add((i % 1000) * 0.5))
     val kll = KllSketch()
     time("kll")(i => kll.add((i % 1000) * 0.5))
-    val mh = MinHashProbe
+    val ng = NGramSketch()
+    time("ngram(12ch)")(i => ng.add(keys(i & 1023)))
+    val mh = graft.text.MinHashSketch(128)
+    time("minhash(12ch)")(i => mh.addText(keys(i & 1023), 5))
     println("---- combined per-row (hll+cms+bloom+topk+td+kll) ----")
     val h2 = HllSketch(); val c2 = CmsSketch(); val b2 = BloomSketch()
     val t2 = SpaceSavingSketch(100); val d2 = TDigestSketch.fast(); val k2 = KllSketch()
@@ -39,5 +42,4 @@ object SketchMicroBench {
       d2.add((i % 1000) * 0.5); k2.add((i % 1000) * 0.5)
     })
   }
-  object MinHashProbe
 }

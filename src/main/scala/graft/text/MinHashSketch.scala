@@ -17,12 +17,15 @@ import graft.sketch.core.{Codec, XxHash64}
 final class MinHashSketch(val k: Int, val sig: Array[Long]) extends Serializable {
 
   def addShingle(s: String): Unit = {
-    val base = XxHash64.hash(s, MinHashSketch.Seed)
+    // k hash functions from two evaluations (Kirsch–Mitzenmacher):
+    // h_i = a + i·b over Z_2^64 — 2 strong hashes + k mults per shingle
+    val a = XxHash64.hash(s, MinHashSketch.Seed)
+    val b = XxHash64.hashLong(a, MinHashSketch.Seed2) | 1L
+    var h = a
     var i = 0
     while (i < k) {
-      // k hash functions via seeded remix of one strong base hash
-      val h = XxHash64.hashLong(base, MinHashSketch.Seed + i * 0x9e3779b97f4a7c15L)
       if (h < sig(i)) sig(i) = h
+      h += b
       i += 1
     }
   }
@@ -87,6 +90,7 @@ final class MinHashSketch(val k: Int, val sig: Array[Long]) extends Serializable
 object MinHashSketch {
   val DefaultK = 128
   private[text] val Seed = 0x3c6ef372fe94f82aL
+  private[text] val Seed2 = 0x9e3779b97f4a7c15L
 
   def apply(k: Int = DefaultK): MinHashSketch =
     new MinHashSketch(k, Array.fill(k)(Long.MaxValue))
