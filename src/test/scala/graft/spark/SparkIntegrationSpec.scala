@@ -219,6 +219,45 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(s"$tdir/job-out/_metrics.json").exists())
   }
 
+  test("many-group agg survives sort-based fallback (buffer serde mid-agg)") {
+    // force ObjectHashAggregate to spill to the sort-based path almost
+    // immediately: buffers get serialized/merged through the fallback,
+    // which must produce identical results to the in-memory path
+    val conf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(conf, "128")
+    val query =
+      """SELECT conv_id, hll_cardinality(hll_agg(cast(turn_idx AS string))) AS d,
+        |       tdigest_quantile(tdigest_agg(cast(length(text) AS double)), 0.5) AS p50
+        |FROM transcripts GROUP BY conv_id""".stripMargin
+    try {
+      spark.conf.set(conf, "4")
+      val spilled = spark.sql(query).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      spark.conf.set(conf, "1000000")
+      val inMem = spark.sql(query).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(spilled.size == inMem.size && spilled.size > 1000)
+      spilled.foreach { case (k, v) => assert(inMem(k) == v, s"group $k") }
+    } finally spark.conf.set(conf, prev)
+  }
+
+  test("sketch UDAFs compose with CUBE / grouping sets") {
+    val rows = spark.sql(
+      """SELECT role, ts_date, hll_cardinality(hll_agg(conv_id)) AS d
+        |FROM transcripts GROUP BY CUBE(role, ts_date)""".stripMargin).collect()
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(total.length == 1)
+    val exact = transcripts.agg(countDistinct("conv_id")).collect()(0).getLong(0)
+    assert(math.abs(total(0).getLong(2) - exact) <= math.max(1, exact / 100))
+    // per-role slice of the cube == plain GROUP BY role
+    val cubeRole = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val plain = spark.sql(
+      "SELECT role, hll_cardinality(hll_agg(conv_id)) FROM transcripts GROUP BY role")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cubeRole == plain)
+  }
+
   test("ngram similarity between role text profiles via SQL") {
     val row = spark.sql(
       """SELECT ngram_cosine(a.ng, b.ng) AS cos, ngram_size(a.ng) AS sa
