@@ -21,8 +21,9 @@ import graft.text.TextSqlFunctions
 object SparkEntry {
   private val fns = SketchFunctions.default
   // KLL with zero compactions and t-digest with singleton centroids at
-  // verify scale (nc > πn/2 ⇒ every point its own centroid ⇒ exact extrema)
-  private val exactFns = SketchFunctions(SketchConfig(kllK = 8192, tdigestCentroids = 8192))
+  // verify scale (nc > πn/2 ⇒ every point its own centroid ⇒ exact extrema);
+  // sized for per-group n up to ~20k so the oracles stay exact through sf0.1
+  private val exactFns = SketchFunctions(SketchConfig(kllK = 32768, tdigestCentroids = 32768))
   private val tfns = TextSqlFunctions.default
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
