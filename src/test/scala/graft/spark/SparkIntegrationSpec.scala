@@ -268,6 +268,48 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(1) > 50)
   }
 
+  test("the five flagship north-star queries run verbatim in SQL (SURVEY §7.3)") {
+    // 1. approx distinct conv_id per role
+    val q1 = spark.sql(
+      "SELECT role, hll_cardinality(hll_agg(conv_id)) AS d FROM transcripts GROUP BY role")
+    assert(q1.count() == 4)
+    // 2. heavy-hitter tools: topk + cms point checks
+    val q2 = spark.sql(
+      """WITH tk AS (SELECT explode(topk(topk_agg(tool), 3)) AS t
+        |            FROM transcripts WHERE tool IS NOT NULL),
+        |     c AS (SELECT cms_agg(tool) AS cms
+        |           FROM transcripts WHERE tool IS NOT NULL)
+        |SELECT t.value, t.count, cms_query(c.cms, t.value) AS cms_count
+        |FROM tk, c""".stripMargin).collect()
+    assert(q2.length == 3)
+    q2.foreach(r => assert(r.getLong(1) == r.getLong(2), "topk count == cms count (exact regime)"))
+    assert(q2.head.getString(0) == "search" || q2.head.getString(0) == "bash")
+    // 3. turn-length quantiles, tdigest + kll
+    val q3 = spark.sql(
+      """SELECT role, tdigest_quantile(tdigest_agg(CAST(text_len AS double)), 0.5) AS p50_td,
+        |       kll_quantile(kll_agg(CAST(text_len AS double)), 0.5) AS p50_kll
+        |FROM transcripts GROUP BY role""".stripMargin).collect()
+    q3.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(2) < 0.15,
+        s"tdigest and kll agree on median for ${r.getString(0)}")
+    }
+    // 4. latency quantiles via lag window → tdigest
+    val q4 = spark.sql(
+      """SELECT tdigest_quantile(tdigest_agg(delta), 0.5) AS p50_ms FROM (
+        |  SELECT CAST(unix_millis(CAST(ts AS timestamp)) -
+        |    unix_millis(CAST(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS timestamp))
+        |    AS double) AS delta
+        |  FROM transcripts) WHERE delta IS NOT NULL""".stripMargin).collect()(0).getDouble(0)
+    assert(q4 > 0, s"median inter-turn latency $q4")
+    // 5. conv overlap between roles via bloom jaccard
+    val q5 = spark.sql(
+      """SELECT bloom_jaccard(u.b, a.b) AS j FROM
+        |  (SELECT bloom_agg(conv_id) AS b FROM transcripts WHERE role='user') u,
+        |  (SELECT bloom_agg(conv_id) AS b FROM transcripts WHERE role='assistant') a
+        |""".stripMargin).collect()(0).getDouble(0)
+    assert(q5 > 0.3 && q5 <= 1.2, s"jaccard $q5")
+  }
+
   test("second-level SQL re-aggregation of sketch columns (tree merge)") {
     val perDate = spark.sql(
       """SELECT ts_date, hll_agg(conv_id) AS hll FROM transcripts
