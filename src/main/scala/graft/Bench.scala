@@ -42,6 +42,7 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.kryo.registrator", "graft.sketch.agg.GraftKryoRegistrator")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

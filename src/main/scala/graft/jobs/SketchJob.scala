@@ -289,6 +289,7 @@ object SketchJob {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.kryo.registrator", "graft.sketch.agg.GraftKryoRegistrator")
       .getOrCreate()
     try run(spark, cfg).show(10, truncate = false)
     finally spark.stop()

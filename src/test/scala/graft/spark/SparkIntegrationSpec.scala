@@ -29,6 +29,7 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.kryo.registrator", "graft.sketch.agg.GraftKryoRegistrator")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     tdir = Files.createTempDirectory("graft-it").toString
