@@ -129,13 +129,14 @@ object Bench {
             name -> sec
           }.toMap
         }
-        // warmup (codegen + classloading), then best-of-2 measured runs
-        // (page-cache / writeback state adds run-to-run variance)
+        // warmup (codegen + classloading), then best-of-3 measured runs
+        // (page-cache / GC state adds ~±15% run-to-run variance)
         sketchBuild(spark, benchPath)
         val (n, sec1) = timed(sketchBuild(spark, benchPath))
         val (_, sec2) = timed(sketchBuild(spark, benchPath))
+        val (_, sec3) = timed(sketchBuild(spark, benchPath))
         turns = n
-        thr(cores) = n / math.min(sec1, sec2)
+        thr(cores) = n / math.min(sec1, math.min(sec2, sec3))
         if (withFullText) {
           val (_, fsec) = timed(sketchBuild(spark, benchPath, fullText = true))
           ftThr(cores) = turns / fsec
