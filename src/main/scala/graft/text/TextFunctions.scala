@@ -2,12 +2,12 @@ package graft.text
 
 import java.util.Locale
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.functions.{udaf, udf}
 import org.apache.spark.sql.{Encoder, Encoders}
 
-import graft.sketch.core.{Fnv1a, XxHash64}
+import graft.sketch.core.XxHash64
 
 /** Text-analysis + dedup + similarity operators for large-scale training-data
   * pipelines: language-ID (stopword/character heuristic), quality scoring,

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.jobs.{SaltedAgg, SketchJob, TranscriptGen}
 import graft.sketch._
-import graft.sketch.agg.{SketchConfig, SketchFunctions}
+import graft.sketch.agg.SketchFunctions
 
 /** End-to-end Spark tests: UDAFs via Dataset.agg and SQL GROUP BY, physical
   * plan checks (ObjectHashAggregate, partition pruning), salted == unsalted,

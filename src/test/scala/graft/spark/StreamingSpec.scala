@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sketch.HllSketch
 import graft.sketch.agg.SketchFunctions
 
 /** Sketch UDAFs under Structured Streaming: mergeable state makes them valid
