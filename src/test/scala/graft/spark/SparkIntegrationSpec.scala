@@ -269,6 +269,54 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(1) > 50)
   }
 
+  test("weighted top-k over pre-aggregated pairs == raw top-k") {
+    val raw = spark.sql(
+      """SELECT topk(topk_agg(tool), 5) AS t FROM transcripts
+        |WHERE tool IS NOT NULL""".stripMargin)
+      .selectExpr("inline(t)").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val weighted = spark.sql(
+      """WITH pre AS (SELECT tool, count(*) AS c FROM transcripts
+        |             WHERE tool IS NOT NULL GROUP BY tool)
+        |SELECT topk(topk_weighted_agg(tool, c), 5) AS t FROM pre""".stripMargin)
+      .selectExpr("inline(t)").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(weighted == raw, "weighted add path reproduces raw counts")
+  }
+
+  test("kll agrees with Spark's approx_percentile as secondary oracle") {
+    val row = spark.sql(
+      """SELECT kll_quantile(kll_agg(CAST(text_len AS double)), 0.5) AS kll,
+        |       approx_percentile(text_len, 0.5) AS spark_approx,
+        |       percentile(text_len, 0.5) AS exact
+        |FROM transcripts""".stripMargin).collect()(0)
+    val exact = row.getDouble(2)
+    assert(math.abs(row.getDouble(0) - exact) / exact < 0.05)
+    assert(math.abs(row.getDouble(0) - row.getInt(1)) / exact < 0.05)
+  }
+
+  test("SketchJob date pruning + manifest invalidation on filter change") {
+    val cfg = SketchJob.Config(
+      input = s"$tdir/transcripts",
+      output = s"$tdir/job-pruned-out",
+      checkpointDir = s"$tdir/ckpt-pruned",
+      dateFrom = Some("2025-01-01"), dateTo = Some("2025-01-10"))
+    val res = SketchJob.run(spark, cfg)
+    val jobTurns = res.agg(sum("turns")).collect()(0).getLong(0)
+    val exact = transcripts
+      .filter(col("ts_date") >= "2025-01-01" && col("ts_date") <= "2025-01-10").count()
+    assert(jobTurns == exact, s"pruned job saw $jobTurns of $exact rows")
+
+    // changing the filter must invalidate old checkpoints (manifest guard)
+    val ckptsBefore = new java.io.File(s"$tdir/ckpt-pruned").listFiles()
+      .count(_.getName.endsWith(".ckpt"))
+    val cfg2 = cfg.copy(dateTo = Some("2025-01-20"), output = s"$tdir/job-pruned-out2")
+    val res2 = SketchJob.run(spark, cfg2)
+    val jobTurns2 = res2.agg(sum("turns")).collect()(0).getLong(0)
+    val exact2 = transcripts
+      .filter(col("ts_date") >= "2025-01-01" && col("ts_date") <= "2025-01-20").count()
+    assert(jobTurns2 == exact2, "stale checkpoints were not reused across filter change")
+    assert(ckptsBefore > 0)
+  }
+
   test("the five flagship north-star queries run verbatim in SQL (SURVEY §7.3)") {
     // 1. approx distinct conv_id per role
     val q1 = spark.sql(
