@@ -53,6 +53,7 @@ object SparkEntry {
       ev.select(col("event_type")).distinct()
         .crossJoin(sk)
         .select(col("event_type"), fns.cmsQuery(col("sk"), col("event_type")).as("cnt"))
+        .orderBy("event_type")
     },
     // CMM bias-corrected estimator (count-mean-min.js:31-49)
     "q_cmm_event_counts" -> { (s, dir) =>
@@ -61,6 +62,7 @@ object SparkEntry {
       ev.select(col("event_type")).distinct()
         .crossJoin(sk)
         .select(col("event_type"), fns.cmmQuery(col("sk"), col("event_type")).as("est"))
+        .orderBy("event_type")
     },
     // CMS sketch-space inner product (count-min.js:83-103)
     "q_cms_dot_events" -> { (s, dir) =>
@@ -76,6 +78,7 @@ object SparkEntry {
         .select(explode(fns.topkAll(col("sk"))).as("e"))
         .select(col("e.value").as("value"), col("e.count").as("cnt"),
           col("e.error").as("err"))
+        .orderBy("value")
     },
     // Bloom membership (bloom.js:64-77): no false negatives; FPR ~0 at 1MB
     "q_bloom_brand_membership" -> { (s, dir) =>
@@ -85,6 +88,7 @@ object SparkEntry {
         .unionAll(s.range(1, 3).select(concat(lit("ZZZ_NOPE_"), col("id")).as("probe")))
       probes.crossJoin(sk)
         .select(col("probe"), fns.bloomContains(col("sk"), col("probe")).as("present"))
+        .orderBy("probe")
     },
     // HLL++ distinct counts (sparse phase exact at this cardinality)
     "q_hll_users_per_nation" -> { (s, dir) =>
@@ -92,12 +96,14 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(fns.hllLongAgg(col("c_custkey")).as("sk"))
         .select(col("c_nationkey"), fns.hllCardinality(col("sk")).as("d"))
+        .orderBy("c_nationkey")
     },
     "q_hll_users_per_event_type" -> { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(fns.hllLongAgg(col("user_id")).as("sk"))
         .select(col("event_type"), fns.hllCardinality(col("sk")).as("d"))
+        .orderBy("event_type")
     },
     // t-digest extremes + total weight, exact in singleton-centroid regime
     "q_tdigest_value_extrema" -> { (s, dir) =>
@@ -111,6 +117,7 @@ object SparkEntry {
           round(exactFns.tdigestQuantile(col("sk"), lit(0.0)), 6).as("vmin"),
           round(exactFns.tdigestQuantile(col("sk"), lit(1.0)), 6).as("vmax"),
           exactFns.tdigestSize(col("sk")).as("n"))
+        .orderBy("event_type")
     },
     // KLL inverse-CDF quantiles, exact with zero compactions
     "q_kll_value_quantiles" -> { (s, dir) =>
@@ -122,6 +129,7 @@ object SparkEntry {
           exactFns.kllQuantile(col("sk"), lit(0.5)).as("p50"),
           exactFns.kllQuantile(col("sk"), lit(0.75)).as("p75"),
           exactFns.kllQuantile(col("sk"), lit(0.99)).as("p99"))
+        .orderBy("event_type")
     },
     // NGram counting (ngram.js:19-40): exact by construction
     "q_ngram_gram_counts" -> { (s, dir) =>
@@ -132,6 +140,7 @@ object SparkEntry {
       Seq("an", "ol", "ra", "re").toDF("gram")
         .crossJoin(sk)
         .select(col("gram"), fns.ngramQuery(col("sk"), col("gram")).as("cnt"))
+        .orderBy("gram")
     },
     // NGram similarity surface (ngram.js:62-80)
     "q_ngram_brand_similarity" -> { (s, dir) =>
@@ -148,6 +157,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           tfns.tokenCountUdf(col("text")).cast("long").as("tokens"))
+        .orderBy("doc_id")
     },
     // exact dedup: hash-groupBy distinct + normalized 64-bit fingerprints
     "q_dedup_exact" -> { (s, dir) =>
@@ -173,6 +183,7 @@ object SparkEntry {
       joined.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
     },
     // ANN scale path: LSH bucket equi-join (no cross join) + exact rerank;
     // reports recall@1 of the bucket-join pipeline vs the brute-force oracle
@@ -283,13 +294,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_cms_event_counts" ->
-      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
     "q_cmm_event_counts" ->
       """WITH c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt FROM events GROUP BY event_type),
         |     t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events)
         |SELECT event_type,
         |       CASE WHEN raw < 0 THEN 0 WHEN raw > cnt THEN cnt ELSE raw END AS est
-        |FROM (SELECT event_type, cnt, cnt - (total - cnt) * (1.0/27190.0) AS raw FROM c, t) x""".stripMargin,
+        |FROM (SELECT event_type, cnt, cnt - (total - cnt) * (1.0/27190.0) AS raw FROM c, t) x
+        |ORDER BY event_type""".stripMargin,
     "q_cms_dot_events" ->
       """WITH a AS (SELECT event_type, count(*) AS c FROM events WHERE event_id % 2 = 0 GROUP BY 1),
         |     b AS (SELECT event_type, count(*) AS c FROM events WHERE event_id % 2 = 1 GROUP BY 1)
@@ -297,35 +309,37 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)""".stripMargin,
     "q_topk_event_types" ->
       """SELECT event_type AS value, count(*) AS cnt, CAST(0 AS BIGINT) AS err
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY value""".stripMargin,
     "q_bloom_brand_membership" ->
-      """SELECT p_brand AS probe, TRUE AS present FROM (SELECT DISTINCT p_brand FROM part)
-        |UNION ALL SELECT 'ZZZ_NOPE_1' AS probe, FALSE AS present
-        |UNION ALL SELECT 'ZZZ_NOPE_2' AS probe, FALSE AS present""".stripMargin,
+      """SELECT probe, present FROM (
+        |  SELECT p_brand AS probe, TRUE AS present FROM (SELECT DISTINCT p_brand FROM part)
+        |  UNION ALL SELECT 'ZZZ_NOPE_1' AS probe, FALSE AS present
+        |  UNION ALL SELECT 'ZZZ_NOPE_2' AS probe, FALSE AS present)
+        |ORDER BY probe""".stripMargin,
     "q_hll_users_per_nation" ->
-      "SELECT c_nationkey, count(DISTINCT c_custkey) AS d FROM customer GROUP BY c_nationkey",
+      "SELECT c_nationkey, count(DISTINCT c_custkey) AS d FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     "q_hll_users_per_event_type" ->
-      "SELECT event_type, count(DISTINCT user_id) AS d FROM events GROUP BY event_type",
+      "SELECT event_type, count(DISTINCT user_id) AS d FROM events GROUP BY event_type ORDER BY event_type",
     "q_tdigest_value_extrema" ->
       """SELECT event_type, round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
         |       CAST(count(value) AS DOUBLE) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_kll_value_quantiles" ->
       """SELECT event_type,
         |       quantile_disc(value, 0.25) AS p25,
         |       quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.75) AS p75,
         |       quantile_disc(value, 0.99) AS p99
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ngram_gram_counts" ->
       """WITH grams AS (
         |  SELECT lower(substr(p_name, CAST(i AS INT), 2)) AS gram
         |  FROM (SELECT p_name, unnest(range(1, length(p_name))) AS i FROM part))
         |SELECT g.gram, (SELECT count(*) FROM grams WHERE grams.gram = g.gram) AS cnt
-        |FROM (SELECT unnest(['an','ol','ra','re']) AS gram) g""".stripMargin,
+        |FROM (SELECT unnest(['an','ol','ra','re']) AS gram) g ORDER BY gram""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS tokens
-        |FROM documents""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT count(*) AS docs, count(DISTINCT text) AS distinct_texts,
         |       count(DISTINCT lower(text)) AS distinct_fps,
@@ -341,26 +355,7 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
         |  FROM sims) ranked
-        |WHERE rank <= 3""".stripMargin,
-    "q_token_counts" ->
-      """SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS tokens
-        |FROM documents""".stripMargin,
-    "q_dedup_exact" ->
-      """SELECT count(*) AS docs, count(DISTINCT text) AS distinct_texts,
-        |       count(DISTINCT lower(text)) AS distinct_fps,
-        |       count(*) - count(DISTINCT text) AS dupes
-        |FROM documents""".stripMargin,
-    "q_ann_top3" ->
-      """WITH sims AS (
-        |  SELECT e1.vec_id AS query_id, e2.vec_id AS neighbor_id,
-        |         list_cosine_similarity(e1.embedding, e2.embedding) AS s
-        |  FROM embeddings e1 JOIN embeddings e2
-        |    ON e1.vec_id < 5 AND e2.vec_id <> e1.vec_id)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
-        |  SELECT query_id, neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
-        |  FROM sims) ranked
-        |WHERE rank <= 3""".stripMargin,
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_ngram_brand_similarity" ->
       """WITH ga AS (SELECT gram, count(*) AS c FROM (
         |       SELECT lower(substr(p_name, CAST(i AS INT), 2)) AS gram
