@@ -200,6 +200,12 @@ object Bench {
         s""""udaf_2_to_8":${fmt(eff2to8)},""" +
         s""""udaf_4_to_16":${fmt(eff4to16)},""" +
         s""""udaf_8_to_32":${fmt(eff8to32)},"job_4_to_16":${fmt(jobEff4to16)}}}"""
+    // machine-parseable copy FIRST (BENCH_r01.json had parsed:null because
+    // sbt wraps stdout in [info] prefixes): the driver/judge can read the
+    // bare JSON from bench_out.json regardless of log formatting
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
     println(json)
 
     // refresh BENCH.md evidence file

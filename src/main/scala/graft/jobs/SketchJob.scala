@@ -113,15 +113,23 @@ object SketchJob {
   /** Stage 1: sketch every input partition, checkpointing each one atomically;
     * partitions already checkpointed are skipped (resume).
     */
-  def buildPartitionSketches(spark: SparkSession, cfg: Config): Unit = {
-    import spark.implicits._
+  /** The exact DataFrame stage 1 maps over — also used to pin the planned
+    * partition count into the manifest (resume correctness depends on the
+    * split layout, not just the file list).
+    */
+  def plannedInput(spark: SparkSession, cfg: Config): DataFrame = {
     val hasLen = scan(spark, cfg).columns.contains("text_len")
     val scanned = scan(spark, cfg)
       .select(col("conv_id"), col("role"),
         coalesce(col("tool"), lit("")).as("tool"),
         (if (hasLen) col("text_len") else length(col("text")))
           .cast("double").as("text_len"))
-    val df = if (cfg.checkpointChunks > 0) scanned.coalesce(cfg.checkpointChunks) else scanned
+    if (cfg.checkpointChunks > 0) scanned.coalesce(cfg.checkpointChunks) else scanned
+  }
+
+  def buildPartitionSketches(spark: SparkSession, cfg: Config): Unit = {
+    import spark.implicits._
+    val df = plannedInput(spark, cfg)
     val ckptDir = cfg.checkpointDir
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -167,7 +175,17 @@ object SketchJob {
           new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED), 1 << 16)
         os.write(encodeCkpt(pid, out))
         os.close()
-        if (!fs.rename(tmp, finalPath)) fs.delete(tmp, false)
+        if (!fs.rename(tmp, finalPath)) {
+          // a failed rename is only benign if a concurrent attempt already
+          // committed; otherwise fail the task so Spark retries it instead
+          // of silently dropping this partition from the final merge
+          val committed = fs.exists(finalPath)
+          fs.delete(tmp, false)
+          if (!committed) {
+            throw new java.io.IOException(
+              s"checkpoint commit failed for partition $pid: rename($tmp -> $finalPath)")
+          }
+        }
         Iterator.empty: Iterator[Int]
       }
     }.count() // force execution
@@ -215,11 +233,42 @@ object SketchJob {
         fns.bloomSize(col("bloom_conv")).as("bloom_conv_size"))
   }
 
-  /** Input manifest: guards resume against a changed input/filter. */
+  /** Input manifest: guards resume against a changed input/filter AND a
+    * changed split layout. Checkpoint files are keyed by partition id, so a
+    * resume is only valid when the planner maps the same rows to the same
+    * ids — which requires the same file list, the same split-sizing configs,
+    * and the same planned partition count. Any drift invalidates.
+    */
   private def manifest(spark: SparkSession, cfg: Config): String = {
     val files = scan(spark, cfg).inputFiles.sorted
     val h = files.foldLeft(17L)((acc, f) => acc * 31 + f.hashCode)
-    s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo} chunks=${cfg.checkpointChunks}"
+    val conf = spark.sessionState.conf
+    val split = s"maxPartitionBytes=${conf.filesMaxPartitionBytes} " +
+      s"openCost=${conf.filesOpenCostInBytes} " +
+      s"defaultParallelism=${spark.sparkContext.defaultParallelism}"
+    val parts = plannedInput(spark, cfg).rdd.getNumPartitions
+    s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo} " +
+      s"chunks=${cfg.checkpointChunks} parts=$parts $split"
+  }
+
+  private val PartsRe = """.*\bparts=(\d+)\b.*""".r
+
+  /** Require checkpoints 0..N-1 all present before merging — a missing file
+    * (lost task, manual deletion) must fail loudly, not drop rows silently.
+    */
+  def verifyCheckpointsComplete(fs: FileSystem, dir: Path, expectedParts: Int): Unit = {
+    val present = fs.listStatus(dir)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("part-") && n.endsWith(".ckpt") =>
+        n.stripPrefix("part-").stripSuffix(".ckpt").toInt
+      }.toSet
+    val missing = (0 until expectedParts).filterNot(present.contains)
+    require(missing.isEmpty,
+      s"checkpoint set incomplete: ${missing.size}/$expectedParts missing " +
+        s"(first: ${missing.take(5).mkString(",")})")
+    require(present.size == expectedParts,
+      s"unexpected checkpoint ids beyond 0..${expectedParts - 1}: " +
+        s"${present.filter(_ >= expectedParts).take(5).mkString(",")}")
   }
 
   def run(spark: SparkSession, cfg: Config): DataFrame = {
@@ -245,6 +294,10 @@ object SketchJob {
 
     val t0 = System.nanoTime()
     buildPartitionSketches(spark, cfg)
+    m match {
+      case PartsRe(n) => verifyCheckpointsComplete(fs, dir, n.toInt)
+      case _          => ()
+    }
     val t1 = System.nanoTime()
     // one decode pass shared by the final merge and the lineage summary
     val parts = mergeCheckpoints(spark, cfg)

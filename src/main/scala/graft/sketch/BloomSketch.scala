@@ -103,12 +103,18 @@ object BloomSketch {
   val DefaultHash = 5 // optimal for 2% FPR over 1M elements (bloom.js:11)
 
   def apply(w: Int = DefaultBits, d: Int = DefaultHash): BloomSketch = {
-    val n = math.ceil(w / 32.0).toInt
-    new BloomSketch(n * 32, d, new Array[Int](n))
+    // replicate the reference's `w || DEFAULT_BITS` / `d || DEFAULT_HASH`
+    // falsy fallback (bloom.js:19-20): a computed 0 means "use the default",
+    // never a degenerate zero-bit / zero-hash filter
+    val w1 = if (w <= 0) DefaultBits else w
+    val d1 = if (d <= 0) DefaultHash else d
+    val n = math.ceil(w1 / 32.0).toInt
+    new BloomSketch(n * 32, d1, new Array[Int](n))
   }
 
   /** Sizing from expected cardinality n and FPR p, with the reference's `~~`
-    * truncation (bloom.js:39-43).
+    * truncation (bloom.js:39-43); p ≳ 0.5 truncates depth to 0, which falls
+    * back to DefaultHash exactly as the reference's `||` does.
     */
   def create(n: Int, p: Double): BloomSketch = {
     val ln2 = math.log(2.0)

@@ -94,8 +94,13 @@ object CmsSketch {
   val DefaultBins = 27191 // count-min.js:4
   val DefaultHash = 9 // count-min.js:5
 
-  def apply(w: Int = DefaultBins, d: Int = DefaultHash): CmsSketch =
-    new CmsSketch(w, d, new Array[Long](w * d), 0L)
+  def apply(w: Int = DefaultBins, d: Int = DefaultHash): CmsSketch = {
+    // reference `w || DEFAULT_BINS` / `d || DEFAULT_HASH` falsy fallback
+    // (count-min.js:16-17): a zero width would make locations() divide by 0
+    val w1 = if (w <= 0) DefaultBins else w
+    val d1 = if (d <= 0) DefaultHash else d
+    new CmsSketch(w1, d1, new Array[Long](w1 * d1), 0L)
+  }
 
   /** Sizing from expected total count n, absolute error e, failure prob p
     * (count-min.js:37-43). Note resulting default depth ⌈ln 1000⌉ = 7 differs
@@ -172,8 +177,11 @@ final class CmmSketch(width: Int, depth: Int, table: Array[Long], num0: Long)
 }
 
 object CmmSketch {
-  def apply(w: Int = CmsSketch.DefaultBins, d: Int = CmsSketch.DefaultHash): CmmSketch =
-    new CmmSketch(w, d, new Array[Long](w * d), 0L)
+  def apply(w: Int = CmsSketch.DefaultBins, d: Int = CmsSketch.DefaultHash): CmmSketch = {
+    val w1 = if (w <= 0) CmsSketch.DefaultBins else w
+    val d1 = if (d <= 0) CmsSketch.DefaultHash else d
+    new CmmSketch(w1, d1, new Array[Long](w1 * d1), 0L)
+  }
 
   def create(n: Long, e: Double = 0.0, p: Double = 0.0): CmmSketch = {
     val c = CmsSketch.create(n, e, p)

@@ -57,70 +57,96 @@ class SketchFunctions(cfg: SketchConfig) extends Serializable {
   val hllMergeAgg: UserDefinedFunction = udaf(new HllMergeAgg)
 
   // ---- scalar query UDFs over serialized sketches (SURVEY.md §2.3) ----
+  // Every UDF is null-safe: a NULL sketch column (all-NULL group through a
+  // merge agg, outer-join miss) propagates as SQL NULL instead of an NPE.
   val bloomContains: UserDefinedFunction =
-    udf((sk: Array[Byte], v: String) => BloomSketch.fromBytes(sk).query(v))
+    udf((sk: Array[Byte], v: String) =>
+      if (sk == null || v == null) None else Some(BloomSketch.fromBytes(sk).query(v)))
   val bloomSize: UserDefinedFunction =
-    udf((sk: Array[Byte]) => BloomSketch.fromBytes(sk).size)
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(BloomSketch.fromBytes(sk).size))
   val bloomJaccard: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
-      BloomSketch.fromBytes(a).jaccard(BloomSketch.fromBytes(b)))
+      if (a == null || b == null) None
+      else Some(BloomSketch.fromBytes(a).jaccard(BloomSketch.fromBytes(b))))
   val bloomCover: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
-      BloomSketch.fromBytes(a).cover(BloomSketch.fromBytes(b)))
+      if (a == null || b == null) None
+      else Some(BloomSketch.fromBytes(a).cover(BloomSketch.fromBytes(b))))
 
   val cmsQuery: UserDefinedFunction =
-    udf((sk: Array[Byte], v: String) => CmsSketch.fromBytes(sk).query(v))
-  val cmsNum: UserDefinedFunction = udf((sk: Array[Byte]) => CmsSketch.fromBytes(sk).num)
+    udf((sk: Array[Byte], v: String) =>
+      if (sk == null || v == null) None else Some(CmsSketch.fromBytes(sk).query(v)))
+  val cmsNum: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(CmsSketch.fromBytes(sk).num))
   val cmsDot: UserDefinedFunction =
-    udf((a: Array[Byte], b: Array[Byte]) => CmsSketch.fromBytes(a).dot(CmsSketch.fromBytes(b)))
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None
+      else Some(CmsSketch.fromBytes(a).dot(CmsSketch.fromBytes(b))))
   val cmmQuery: UserDefinedFunction =
-    udf((sk: Array[Byte], v: String) => CmmSketch.fromBytes(sk).queryMean(v))
+    udf((sk: Array[Byte], v: String) =>
+      if (sk == null || v == null) None else Some(CmmSketch.fromBytes(sk).queryMean(v)))
   val cmmDot: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
-      CmmSketch.fromBytes(a).dotMean(CmmSketch.fromBytes(b)))
+      if (a == null || b == null) None
+      else Some(CmmSketch.fromBytes(a).dotMean(CmmSketch.fromBytes(b))))
 
   val ngramQuery: UserDefinedFunction =
-    udf((sk: Array[Byte], g: String) => NGramSketch.fromBytes(sk).query(g))
-  val ngramSize: UserDefinedFunction = udf((sk: Array[Byte]) => NGramSketch.fromBytes(sk).size)
-  val ngramNorm: UserDefinedFunction = udf((sk: Array[Byte]) => NGramSketch.fromBytes(sk).norm)
+    udf((sk: Array[Byte], g: String) =>
+      if (sk == null || g == null) None else Some(NGramSketch.fromBytes(sk).query(g)))
+  val ngramSize: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(NGramSketch.fromBytes(sk).size))
+  val ngramNorm: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(NGramSketch.fromBytes(sk).norm))
   val ngramDot: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
-      NGramSketch.fromBytes(a).dot(NGramSketch.fromBytes(b)))
+      if (a == null || b == null) None
+      else Some(NGramSketch.fromBytes(a).dot(NGramSketch.fromBytes(b))))
   val ngramCosine: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
-      NGramSketch.fromBytes(a).cosine(NGramSketch.fromBytes(b)))
+      if (a == null || b == null) None
+      else Some(NGramSketch.fromBytes(a).cosine(NGramSketch.fromBytes(b))))
 
   val topk: UserDefinedFunction =
     udf((sk: Array[Byte], k: Int) =>
-      SpaceSavingSketch.fromBytes(sk).topK(Some(k)).map {
+      if (sk == null) null
+      else SpaceSavingSketch.fromBytes(sk).topK(Some(k)).map {
         case (v, c, e) => TopEntry(v, c, e)
       })
   val topkAll: UserDefinedFunction =
     udf((sk: Array[Byte]) =>
-      SpaceSavingSketch.fromBytes(sk).topK(None).map {
+      if (sk == null) null
+      else SpaceSavingSketch.fromBytes(sk).topK(None).map {
         case (v, c, e) => TopEntry(v, c, e)
       })
   val topkQuery: UserDefinedFunction =
-    udf((sk: Array[Byte], v: String) => SpaceSavingSketch.fromBytes(sk).query(v))
+    udf((sk: Array[Byte], v: String) =>
+      if (sk == null || v == null) None else Some(SpaceSavingSketch.fromBytes(sk).query(v)))
   val topkError: UserDefinedFunction =
-    udf((sk: Array[Byte], v: String) => SpaceSavingSketch.fromBytes(sk).error(v))
+    udf((sk: Array[Byte], v: String) =>
+      if (sk == null || v == null) None else Some(SpaceSavingSketch.fromBytes(sk).error(v)))
 
   val tdigestQuantile: UserDefinedFunction =
-    udf((sk: Array[Byte], q: Double) => TDigestSketch.fromBytes(sk).quantile(q))
+    udf((sk: Array[Byte], q: Double) =>
+      if (sk == null) None else Some(TDigestSketch.fromBytes(sk).quantile(q)))
   val tdigestCdf: UserDefinedFunction =
-    udf((sk: Array[Byte], v: Double) => TDigestSketch.fromBytes(sk).cdf(v))
+    udf((sk: Array[Byte], v: Double) =>
+      if (sk == null) None else Some(TDigestSketch.fromBytes(sk).cdf(v)))
   val tdigestSize: UserDefinedFunction =
-    udf((sk: Array[Byte]) => TDigestSketch.fromBytes(sk).count)
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(TDigestSketch.fromBytes(sk).count))
 
   val kllQuantile: UserDefinedFunction =
-    udf((sk: Array[Byte], q: Double) => KllSketch.fromBytes(sk).quantileLower(q))
+    udf((sk: Array[Byte], q: Double) =>
+      if (sk == null) None else Some(KllSketch.fromBytes(sk).quantileLower(q)))
   val kllCdf: UserDefinedFunction =
-    udf((sk: Array[Byte], v: Double) => KllSketch.fromBytes(sk).cdf(v))
-  val kllSize: UserDefinedFunction = udf((sk: Array[Byte]) => KllSketch.fromBytes(sk).totalN)
+    udf((sk: Array[Byte], v: Double) =>
+      if (sk == null) None else Some(KllSketch.fromBytes(sk).cdf(v)))
+  val kllSize: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(KllSketch.fromBytes(sk).totalN))
 
-  val hllEstimate: UserDefinedFunction = udf((sk: Array[Byte]) => HllSketch.fromBytes(sk).estimate)
+  val hllEstimate: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(HllSketch.fromBytes(sk).estimate))
   val hllCardinality: UserDefinedFunction =
-    udf((sk: Array[Byte]) => HllSketch.fromBytes(sk).cardinality)
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(HllSketch.fromBytes(sk).cardinality))
 
   /** Register every function for SQL under `prefix` (default none):
     * `SELECT role, hll_cardinality(hll_agg(conv_id)) ... GROUP BY role`.
