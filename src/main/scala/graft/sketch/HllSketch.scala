@@ -83,7 +83,14 @@ final class HllSketch private (
       }
       val alpha = alphaM(m)
       val e = alpha * m.toDouble * m.toDouble / invSum
-      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+      // HLL++ estimator (Heule 2013 §5): subtract the empirically-measured
+      // bias in the e <= 5m regime, and prefer linear counting below the
+      // published per-precision crossover threshold
+      val corrected = if (e <= 5.0 * m) e - HllBias.estimateBias(e, p) else e
+      if (zeros > 0) {
+        val h = m * math.log(m.toDouble / zeros)
+        if (h <= HllBias.threshold(p)) h else corrected
+      } else corrected
     }
   }
 

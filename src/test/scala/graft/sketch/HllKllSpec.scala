@@ -35,6 +35,26 @@ class HllKllSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL++ bias correction holds in the crossover region (Heule 2013 §5)") {
+    // p=14: crossover 2.5m..5m = 40960..81920 distinct, where raw-HLL bias
+    // peaks (several %) and neither linear counting nor raw estimation is
+    // reliable; the kNN-interpolated correction must keep |rel err| well
+    // under the raw bias — we assert < 2x the 0.81% std error.
+    val p = 14
+    val m = 1 << p
+    for (n <- Seq((2.6 * m).toInt, (3.5 * m).toInt, (4.5 * m).toInt)) {
+      val h = HllSketch(p)
+      (0 until n).foreach(i => h.addLong(i.toLong * 7919 + n))
+      val rel = math.abs(h.estimate - n) / n
+      assert(rel < 2 * 1.04 / math.sqrt(m), s"n=$n est=${h.estimate} rel=$rel")
+      // and the correction is actually engaged: the uncorrected raw path
+      // (bias re-added) must sit further from the truth or equal
+      val raw = h.estimate + HllBias.estimateBias(h.estimate, p)
+      assert(math.abs(h.estimate - n) <= math.abs(raw - n) + 1e-9,
+        s"corrected ${h.estimate} should not be worse than raw $raw for n=$n")
+    }
+  }
+
   test("HLL addLong and add(string) both distribute") {
     val h = HllSketch()
     (0L until 100000L).foreach(h.addLong)
