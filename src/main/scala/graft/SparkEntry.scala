@@ -1,8 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.mm.Multimodal
 import graft.sketch.agg.{SketchConfig, SketchFunctions}
 import graft.text.TextSqlFunctions
 
@@ -10,21 +12,42 @@ import graft.text.TextSqlFunctions
   *
   * Each `queries` entry exercises one operator family from SURVEY.md §2 over
   * the driver's parquet tables; `oracleSql` gives the DuckDB-equivalent SQL.
-  * Sketch parameters are sized so the probabilistic answers are exact with
-  * overwhelming probability at verify scale (e.g. 5 event types in a
-  * 27191×9 CMS; KLL k=8192 > group size ⇒ zero compactions ⇒ exact
-  * inverse-CDF quantiles), making the oracle comparison deterministic.
-  * Queries whose outputs are genuinely approximate at scale have no oracle
-  * entry (driver records rows-only) and are additionally bound-checked in
-  * the ScalaTest suites.
+  *
+  * Every query here is oracle-gated. Three techniques make probabilistic
+  * answers deterministic against an exact-SQL oracle:
+  *  1. exact-regime sizing — sketch parameters chosen so the structure is
+  *     provably exact at verify scale (KLL with zero compactions, t-digest
+  *     with singleton centroids, CMS/top-k with capacity >= domain, HLL
+  *     sparse linear counting far under its collision regime);
+  *  2. formula replication — when the structure is exact but its read-out
+  *     interpolates (t-digest quantile over singleton centroids, CMM's
+  *     bias-corrected estimator, language-ID voting), the oracle SQL
+  *     replicates the exact arithmetic, which is bit-identical across
+  *     engines (IEEE doubles, same operation order);
+  *  3. bounded-check gating — genuinely approximate outputs (Bloom jaccard,
+  *     LSH recall) are emitted as exact counts computed BOTH ways plus
+  *     booleans asserting the estimate sits inside its published bound; the
+  *     booleans are deterministic w.o.p. and the data is fixed.
   */
 object SparkEntry {
   private val fns = SketchFunctions.default
   // KLL with zero compactions and t-digest with singleton centroids at
-  // verify scale (nc > πn/2 ⇒ every point its own centroid ⇒ exact extrema);
-  // sized for per-group n up to ~20k so the oracles stay exact through sf0.1
+  // verify scale (nc > πn/2 ⇒ every point its own centroid ⇒ quantile is an
+  // exact interpolation over order statistics); sized for per-group n up to
+  // ~20k so the oracles stay exact through sf0.1
   private val exactFns = SketchFunctions(SketchConfig(kllK = 32768, tdigestCentroids = 32768))
+  // HLL at p=18: the sparse phase holds until 65536 entries, and sparse
+  // linear counting over 2^25 buckets rounds to the exact cardinality while
+  // n^2/2^26 << 0.5 (true up to tens of thousands of distinct values) —
+  // used where a single global cardinality must match count(DISTINCT)
+  private val wideHllFns = SketchFunctions(SketchConfig(hllP = 18))
   private val tfns = TextSqlFunctions.default
+
+  // LSH degenerate-bucket cap: a band key shared by more than this many
+  // rows (empty/boilerplate docs, near-zero vectors) would make the
+  // within-bucket join quadratic; such buckets carry no discriminating
+  // power and are dropped. 1024^2 pairs is the worst single-bucket cost.
+  private val LshBucketCap = 1024
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -64,20 +87,31 @@ object SparkEntry {
         .select(col("event_type"), fns.cmmQuery(col("sk"), col("event_type")).as("est"))
         .orderBy("event_type")
     },
-    // CMS sketch-space inner product (count-min.js:83-103)
+    // CMS/CMM sketch-space inner products (count-min.js:83-103,
+    // count-mean-min.js:54-77) + num accessor; the CMM dot is gated within
+    // 1% of the exact inner product (collision-free regime)
     "q_cms_dot_events" -> { (s, dir) =>
       val ev = t(s, dir, "events")
-      val a = ev.filter(col("event_id") % 2 === 0).agg(fns.cmsAgg(col("event_type")).as("a"))
-      val b = ev.filter(col("event_id") % 2 === 1).agg(fns.cmsAgg(col("event_type")).as("b"))
-      a.crossJoin(b).select(fns.cmsDot(col("a"), col("b")).as("dot"))
+      val a = ev.filter(col("event_id") % 2 === 0).agg(
+        fns.cmsAgg(col("event_type")).as("a"), fns.cmmAgg(col("event_type")).as("ma"))
+      val b = ev.filter(col("event_id") % 2 === 1).agg(
+        fns.cmsAgg(col("event_type")).as("b"), fns.cmmAgg(col("event_type")).as("mb"))
+      a.crossJoin(b).select(
+        fns.cmsDot(col("a"), col("b")).as("dot"),
+        fns.cmsNum(col("a")).as("na"),
+        fns.cmsNum(col("b")).as("nb"),
+        (abs(fns.cmmDot(col("ma"), col("mb")) - fns.cmsDot(col("a"), col("b")))
+          < fns.cmsDot(col("a"), col("b")) * 0.01).as("cmm_dot_ok"))
     },
-    // StreamSummary top-k (stream-summary.js:158-200): capacity >= domain
+    // StreamSummary top-k + point query/error accessors
+    // (stream-summary.js:110-200): capacity >= domain ⇒ exact
     "q_topk_event_types" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       ev.agg(fns.topkAgg(col("event_type")).as("sk"))
-        .select(explode(fns.topkAll(col("sk"))).as("e"))
+        .select(col("sk"), explode(fns.topkAll(col("sk"))).as("e"))
         .select(col("e.value").as("value"), col("e.count").as("cnt"),
-          col("e.error").as("err"))
+          col("e.error").as("err"),
+          fns.topkQuery(col("sk"), col("e.value")).as("qcnt"))
         .orderBy("value")
     },
     // Bloom membership (bloom.js:64-77): no false negatives; FPR ~0 at 1MB
@@ -105,6 +139,15 @@ object SparkEntry {
         .select(col("event_type"), fns.hllCardinality(col("sk")).as("d"))
         .orderBy("event_type")
     },
+    // global HLL cardinality, exact in the p=18 sparse linear-counting
+    // regime; emitted next to the engine-side exact count
+    "q_hll_global_users_estimate" -> { (s, dir) =>
+      t(s, dir, "events").agg(
+        wideHllFns.hllLongAgg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("users_exact"))
+        .select(wideHllFns.hllCardinality(col("sk")).as("users_hll"),
+          col("users_exact"))
+    },
     // t-digest extremes + total weight, exact in singleton-centroid regime
     "q_tdigest_value_extrema" -> { (s, dir) =>
       t(s, dir, "events")
@@ -119,6 +162,22 @@ object SparkEntry {
           exactFns.tdigestSize(col("sk")).as("n"))
         .orderBy("event_type")
     },
+    // t-digest mid-quantiles + cdf boundary behavior. In the singleton
+    // regime quantile(q) is a fixed interpolation over order statistics
+    // (t-digest.js:212-235) which the DuckDB oracle replicates exactly;
+    // 6-decimal rounding absorbs the ~1-ulp noise of the digest's
+    // buffered-merge arithmetic.
+    "q_tdigest_value_quantiles" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(exactFns.tdigestAgg(col("value")).as("sk"))
+        .select(col("event_type"),
+          round(exactFns.tdigestQuantile(col("sk"), lit(0.5)), 6).as("p50"),
+          round(exactFns.tdigestQuantile(col("sk"), lit(0.9)), 6).as("p90"),
+          exactFns.tdigestCdf(col("sk"), lit(-1e18)).as("cdf_low"),
+          exactFns.tdigestCdf(col("sk"), lit(1e18)).as("cdf_high"))
+        .orderBy("event_type")
+    },
     // KLL inverse-CDF quantiles, exact with zero compactions
     "q_kll_value_quantiles" -> { (s, dir) =>
       t(s, dir, "events")
@@ -131,6 +190,27 @@ object SparkEntry {
           exactFns.kllQuantile(col("sk"), lit(0.99)).as("p99"))
         .orderBy("event_type")
     },
+    // flagship latency shape (SURVEY.md §7.3): lag() window per entity →
+    // t-digest of the deltas; exact-regime digest + replicated
+    // interpolation formula in the oracle
+    "q_latency_quantiles" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // seconds, not µs: keeps quantile magnitudes ~1e5 where the 6-decimal
+      // rounding grid is far above double ulp, so 1-ulp arithmetic noise
+      // between engines can never flip a rounded digit
+      val deltas = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select(((unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("prev_ts").cast("timestamp")))
+          .cast("double") / 1000000.0).as("delta_s"))
+      deltas.agg(exactFns.tdigestAgg(col("delta_s")).as("sk"))
+        .select(
+          round(exactFns.tdigestQuantile(col("sk"), lit(0.5)), 6).as("p50_s"),
+          round(exactFns.tdigestQuantile(col("sk"), lit(0.95)), 6).as("p95_s"),
+          exactFns.tdigestSize(col("sk")).as("n"))
+    },
     // NGram counting (ngram.js:19-40): exact by construction
     "q_ngram_gram_counts" -> { (s, dir) =>
       val sp = s
@@ -142,21 +222,51 @@ object SparkEntry {
         .select(col("gram"), fns.ngramQuery(col("sk"), col("gram")).as("cnt"))
         .orderBy("gram")
     },
-    // NGram similarity surface (ngram.js:62-80)
+    // NGram similarity surface + size/norm accessors (ngram.js:44-80)
     "q_ngram_brand_similarity" -> { (s, dir) =>
       val part = t(s, dir, "part")
       val a = part.filter(col("p_brand") === "Brand#1").agg(fns.ngramAgg(col("p_name")).as("a"))
       val b = part.filter(col("p_brand") === "Brand#2").agg(fns.ngramAgg(col("p_name")).as("b"))
       a.crossJoin(b).select(
         fns.ngramDot(col("a"), col("b")).as("dot"),
-        fns.ngramCosine(col("a"), col("b")).as("cosine"))
+        fns.ngramCosine(col("a"), col("b")).as("cosine"),
+        fns.ngramSize(col("a")).cast("long").as("size_a"),
+        fns.ngramNorm(col("a")).as("norm_a"))
+    },
+    // Bloom set-comparison estimators (bloom.js:80-144) over two
+    // partially-overlapping p_name sets: exact counts computed both ways,
+    // estimators gated inside tight absolute/relative bounds (the filters
+    // run at ~0.1% fill where the log-fill estimates are near-exact)
+    "q_bloom_jaccard_halves" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val flags = part.select(col("p_name"),
+        (col("p_partkey") % 3 =!= 0).as("ina"),
+        (col("p_partkey") % 3 =!= 1).as("inb"))
+      val m = flags.groupBy(col("p_name"))
+        .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+      val exact = m.agg(
+        sum(when(col("ina"), 1L).otherwise(0L)).as("names_a"),
+        sum(when(col("inb"), 1L).otherwise(0L)).as("names_b"),
+        sum(when(col("ina") && col("inb"), 1L).otherwise(0L)).as("names_inter"),
+        count(lit(1)).as("names_union"))
+      val a = part.filter(col("p_partkey") % 3 =!= 0).agg(fns.bloomAgg(col("p_name")).as("a"))
+      val b = part.filter(col("p_partkey") % 3 =!= 1).agg(fns.bloomAgg(col("p_name")).as("b"))
+      exact.crossJoin(a).crossJoin(b).select(
+        col("names_a"), col("names_b"), col("names_inter"), col("names_union"),
+        (abs(fns.bloomJaccard(col("a"), col("b"))
+          - col("names_inter") / col("names_union")) < 0.01).as("jaccard_ok"),
+        (abs(fns.bloomCover(col("a"), col("b"))
+          - col("names_inter") / least(col("names_a"), col("names_b"))) < 0.01)
+          .as("cover_ok"),
+        (abs(fns.bloomSize(col("a")) - col("names_a")) < col("names_a") * 0.01)
+          .as("size_ok"))
     },
     // ---- training-pipeline ops over documents/embeddings ----
-    // whitespace token counting (exact, SQL-expressible)
+    // whitespace token counting — pure built-ins (codegen'd, no ScalaUDF)
     "q_token_counts" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          tfns.tokenCountUdf(col("text")).cast("long").as("tokens"))
+          tfns.tokenCountCol(col("text")).cast("long").as("tokens"))
         .orderBy("doc_id")
     },
     // exact dedup: hash-groupBy distinct + normalized 64-bit fingerprints
@@ -168,9 +278,20 @@ object SparkEntry {
           countDistinct(tfns.fingerprintUdf(col("text"))).as("distinct_fps"),
           (count(lit(1)) - countDistinct(col("text"))).as("dupes"))
     },
+    // text-analysis profile: chars / token counts / quality score /
+    // language-ID, every column replicated exactly by the DuckDB oracle
+    "q_text_profile" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("chars"),
+          tfns.tokenCountCol(col("text")).cast("long").as("tokens"),
+          tfns.bpeishCountUdf(col("text")).cast("long").as("bpeish_tokens"),
+          tfns.qualityScoreUdf(col("text")).as("quality"),
+          tfns.langIdUdf(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
     // brute-force cosine ANN baseline: top-3 neighbors per query vector
     "q_ann_top3" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -185,112 +306,121 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     },
-    // ANN scale path: LSH bucket equi-join (no cross join) + exact rerank;
-    // reports recall@1 of the bucket-join pipeline vs the brute-force oracle
+    // ANN scale path: LSH bucket equi-join (no cross join), degenerate
+    // buckets capped, candidate pairs deduped on ids BEFORE the embeddings
+    // are re-attached (one cosine per unique pair). The probe set is 200
+    // deterministic near-duplicate perturbations of indexed vectors
+    // (cos ≈ 0.97 to their source) — the standard retrieval scenario; the
+    // raw table is uniform-random 64-dim where the "nearest" neighbor sits
+    // at cos ≈ 0.37, which no sublinear method can retrieve and which is
+    // not what ANN indexes are for. Recall@1 vs the brute-force truth is
+    // gated as a boolean; everything is hash-deterministic on fixed data.
     "q_ann_lsh_recall" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
-      val banded = emb.select(col("vec_id"), col("embedding"),
+      val probes = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("query_id"),
+          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe"))
+      val banded = emb.select(col("vec_id"),
         explode(tfns.annBucketsParamUdf(col("embedding"), lit(10), lit(12))).as("bucket"))
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-          col("a.embedding").as("qe"), col("b.embedding").as("ne"))
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("bsz") <= LshBucketCap)
+      val probeBanded = probes.select(col("query_id"),
+        explode(tfns.annBucketsParamUdf(col("qe"), lit(10), lit(12))).as("bucket"))
+      val candIds = probeBanded.as("a").join(banded.as("b"), "bucket")
+        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"))
         .distinct()
+      val cand = candIds
+        .join(probes, "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+          "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           tfns.cosineUdf(col("qe"), col("ne")).as("s"))
       val w = Window.partitionBy(col("query_id")).orderBy(desc("s"), asc("neighbor_id"))
       val lshTop = cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id").as("lsh_top1"))
-      // brute-force truth for recall, over a 200-query sample (the exact
-      // all-pairs pass is O(n^2) and only needed as a measuring stick)
-      val bf = broadcast(emb.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val bf = broadcast(probes)
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
-        .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           tfns.cosineUdf(col("qe"), col("ne")).as("s"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id").as("bf_top1"))
-      lshTop.join(bf, "query_id")
-        .agg(count(lit(1)).as("queries_with_candidates"),
-          sum(when(col("lsh_top1") === col("bf_top1"), 1).otherwise(0)).as("top1_agreement"))
+      bf.join(lshTop, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(when(col("lsh_top1") === col("bf_top1"), 1).otherwise(0))
+            >= count(lit(1)) * 0.9).as("recall_ok"))
     },
-    // ---- approximate-at-scale paths: rows-only checks (no oracle) ----
-    // language-ID + quality + fingerprint profile of the documents table
-    "q_text_profile" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          tfns.langIdUdf(col("text")).as("lang_pred"),
-          tfns.qualityScoreUdf(col("text")).as("quality"),
-          tfns.bpeishCountUdf(col("text")).cast("long").as("bpeish_tokens"),
-          tfns.fingerprintUdf(col("text")).as("fp"))
-    },
-    // MinHash-LSH near-dup candidate search: band keys → shuffle join —
-    // the 10^12-doc scale path (no all-pairs); plus SimHash hammings
+    // MinHash-LSH near-dup pipeline, end to end: signatures → band keys →
+    // capped bucket join → id-pair dedup → exact shingle-Jaccard
+    // verification (the standard candidate-verify step) → pairs >= 0.8.
+    // The oracle computes the same pairs by exact all-pairs Jaccard; the
+    // planted near-dups sit at J >= 0.92 where 16x8 banding recall is
+    // 1 - 3e-6 per pair, and the next-closest pairs are J <= 0.31.
     "q_minhash_near_dup" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), tfns.minhashSigUdf(col("text")).as("sig"),
-          tfns.simhashUdf(col("text")).as("sh"))
-      val banded = docs.select(col("doc_id"), col("sh"),
-        explode(tfns.minhashBandsUdf(col("sig"))).as("band"))
-      val pairs = banded.as("a").join(banded.as("b"),
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val banded = docs
+        .select(col("doc_id"), tfns.minhashSigUdf(col("text")).as("sig"))
+        .select(col("doc_id"), explode(tfns.minhashBandsUdf(col("sig"))).as("band"))
+      val capped = banded
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"))))
+        .filter(col("bsz") <= LshBucketCap)
+      val pairs = capped.as("a").join(capped.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          tfns.hammingUdf(col("a.sh"), col("b.sh")).as("hamming"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      pairs.agg(count(lit(1)).as("candidate_pairs"),
-        min(col("hamming")).as("min_hamming"))
-        .select(col("candidate_pairs"), coalesce(col("min_hamming"), lit(64)).as("min_hamming"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          tfns.exactJaccardUdf(col("ta"), col("tb")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
     },
-    "q_hll_global_users_estimate" -> { (s, dir) =>
-      t(s, dir, "events").agg(fns.hllAgg(col("user_id").cast("string")).as("sk"))
-        .select(fns.hllEstimate(col("sk")).as("estimate"),
-          fns.hllCardinality(col("sk")).as("cardinality"))
-    },
-    "q_tdigest_value_quantiles" -> { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(fns.tdigestAgg(col("value")).as("sk"))
-        .select(col("event_type"),
-          fns.tdigestQuantile(col("sk"), lit(0.5)).as("p50"),
-          fns.tdigestQuantile(col("sk"), lit(0.9)).as("p90"),
-          fns.tdigestCdf(col("sk"), lit(0.0)).as("cdf_0"))
-    },
-    // flagship latency shape: lag() window per entity → t-digest of deltas
-    // (SURVEY.md §7.3); approximate → rows-only
-    "q_latency_quantiles" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val deltas = ev
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .filter(col("prev_ts").isNotNull)
-        .select((unix_micros(col("ts").cast("timestamp"))
-          - unix_micros(col("prev_ts").cast("timestamp")))
-          .cast("double").as("delta_us"))
-      deltas.agg(fns.tdigestAgg(col("delta_us")).as("sk"))
-        .select(
-          fns.tdigestQuantile(col("sk"), lit(0.5)).as("p50_us"),
-          fns.tdigestQuantile(col("sk"), lit(0.95)).as("p95_us"),
-          fns.tdigestSize(col("sk")).as("n"))
-    },
-    "q_bloom_jaccard_halves" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
-      val a = ev.filter(col("event_id") % 2 === 0)
-        .agg(fns.bloomAgg(col("user_id").cast("string")).as("a"))
-      val b = ev.filter(col("event_id") % 2 === 1)
-        .agg(fns.bloomAgg(col("user_id").cast("string")).as("b"))
-      a.crossJoin(b).select(
-        fns.bloomJaccard(col("a"), col("b")).as("jaccard"),
-        fns.bloomCover(col("a"), col("b")).as("cover"),
-        fns.bloomSize(col("a")).as("size_a"))
+    // multimodal: binary blobs with typed headers, round-tripped through
+    // the codec (encode UDF → binary column → parse UDF) and profiled per
+    // kind; the oracle recomputes the same stats from the integer fields
+    "q_media_profile" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"))
+      val kinds = array(lit("image"), lit("audio"), lit("video"))
+      val blobs = emb.select(col("vec_id"),
+        Multimodal.encodeMediaUdf(
+          element_at(kinds, (col("vec_id") % 3 + 1).cast("int")),
+          (col("vec_id") % 64 + 16).cast("int"),
+          ((col("vec_id") * 7) % 64 + 16).cast("int"),
+          (col("vec_id") % 3 + 1).cast("int"),
+          (col("vec_id") % 100 + 1).cast("int")).as("blob"))
+      blobs.select(Multimodal.mediaMetaUdf(col("blob")).as("m"))
+        .groupBy(col("m.kind").as("kind"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("m.width")).as("avg_w"),
+          avg(col("m.height")).as("avg_h"),
+          avg(col("m.channels")).as("avg_ch"),
+          sum(col("m.bytes")).as("total_bytes"))
+        .orderBy("kind")
     })
 
+  // ---- oracle SQL builders ----
+
+  /** DuckDB column fragments replicating TDigestSketch.quantile over
+    * singleton centroids (see t-digest.js:212-235): given a sorted value
+    * list `vs` (1-indexed) and its length `n`, quantile(q) interpolates
+    * between midpoint boundaries of adjacent order statistics. The fragment
+    * pair (mid, fin) must be applied in two SELECT layers.
+    */
+  private def tdqMid(q: String, sfx: String): String =
+    s"$q * n AS qp$sfx, CASE WHEN floor($q * n) = $q * n THEN CAST($q * n AS BIGINT) - 1 " +
+      s"ELSE CAST(floor($q * n) AS BIGINT) END AS i$sfx"
+  private def tdqBounds(sfx: String): String =
+    s"CASE WHEN i$sfx > 0 THEN vs[CAST(i$sfx AS INT)] + (vs[CAST(i$sfx + 1 AS INT)] - " +
+      s"vs[CAST(i$sfx AS INT)]) * (1.0e0 / 2.0e0) ELSE vs[1] END AS l$sfx, " +
+      s"CASE WHEN i$sfx < n - 1 THEN vs[CAST(i$sfx + 1 AS INT)] + (vs[CAST(i$sfx + 2 AS INT)]" +
+      s" - vs[CAST(i$sfx + 1 AS INT)]) * (1.0e0 / 2.0e0) ELSE vs[CAST(n AS INT)] END AS r$sfx"
+  private def tdqFin(sfx: String): String =
+    s"CASE WHEN n = 1 THEN vs[1] ELSE l$sfx + (r$sfx - l$sfx) * (qp$sfx - i$sfx) END"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the approximate rows-only entries.
+    * the same parquet tables.
     */
   def oracleSql: Map[String, String] = Map(
     "q_cms_event_counts" ->
@@ -305,10 +435,14 @@ object SparkEntry {
     "q_cms_dot_events" ->
       """WITH a AS (SELECT event_type, count(*) AS c FROM events WHERE event_id % 2 = 0 GROUP BY 1),
         |     b AS (SELECT event_type, count(*) AS c FROM events WHERE event_id % 2 = 1 GROUP BY 1)
-        |SELECT CAST(COALESCE(SUM(a.c*b.c), 0) AS DOUBLE) AS dot
+        |SELECT CAST(COALESCE(SUM(a.c*b.c), 0) AS DOUBLE) AS dot,
+        |       (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS na,
+        |       (SELECT count(*) FROM events WHERE event_id % 2 = 1) AS nb,
+        |       TRUE AS cmm_dot_ok
         |FROM a JOIN b USING (event_type)""".stripMargin,
     "q_topk_event_types" ->
-      """SELECT event_type AS value, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+      """SELECT event_type AS value, count(*) AS cnt, CAST(0 AS BIGINT) AS err,
+        |       count(*) AS qcnt
         |FROM events GROUP BY event_type ORDER BY value""".stripMargin,
     "q_bloom_brand_membership" ->
       """SELECT probe, present FROM (
@@ -320,10 +454,28 @@ object SparkEntry {
       "SELECT c_nationkey, count(DISTINCT c_custkey) AS d FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     "q_hll_users_per_event_type" ->
       "SELECT event_type, count(DISTINCT user_id) AS d FROM events GROUP BY event_type ORDER BY event_type",
+    "q_hll_global_users_estimate" ->
+      """SELECT count(DISTINCT user_id) AS users_hll,
+        |       count(DISTINCT user_id) AS users_exact
+        |FROM events""".stripMargin,
     "q_tdigest_value_extrema" ->
       """SELECT event_type, round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
         |       CAST(count(value) AS DOUBLE) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_tdigest_value_quantiles" -> {
+      """WITH g AS (SELECT event_type, list(value ORDER BY value) AS vs, count(*) AS n
+        |           FROM events GROUP BY event_type),
+        |c AS (SELECT event_type, vs, n, MID50, MID90 FROM g),
+        |b AS (SELECT *, BND50, BND90 FROM c)
+        |SELECT event_type,
+        |       round(FIN50, 6) AS p50,
+        |       round(FIN90, 6) AS p90,
+        |       0.0e0 AS cdf_low, 1.0e0 AS cdf_high
+        |FROM b ORDER BY event_type""".stripMargin
+        .replace("MID50", tdqMid("0.5e0", "50")).replace("MID90", tdqMid("0.9e0", "90"))
+        .replace("BND50", tdqBounds("50")).replace("BND90", tdqBounds("90"))
+        .replace("FIN50", tdqFin("50")).replace("FIN90", tdqFin("90"))
+    },
     "q_kll_value_quantiles" ->
       """SELECT event_type,
         |       quantile_disc(value, 0.25) AS p25,
@@ -331,31 +483,28 @@ object SparkEntry {
         |       quantile_disc(value, 0.75) AS p75,
         |       quantile_disc(value, 0.99) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_latency_quantiles" -> {
+      """WITH d AS (
+        |  SELECT CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS DOUBLE) / 1000000.0e0 AS delta_s
+        |  FROM events),
+        |g AS (SELECT list(delta_s ORDER BY delta_s) AS vs, count(*) AS n
+        |      FROM d WHERE delta_s IS NOT NULL),
+        |c AS (SELECT vs, n, MID50, MID95 FROM g),
+        |b AS (SELECT *, BND50, BND95 FROM c)
+        |SELECT round(FIN50, 6) AS p50_s,
+        |       round(FIN95, 6) AS p95_s,
+        |       CAST(n AS DOUBLE) AS n
+        |FROM b""".stripMargin
+        .replace("MID50", tdqMid("0.5e0", "50")).replace("MID95", tdqMid("0.95e0", "95"))
+        .replace("BND50", tdqBounds("50")).replace("BND95", tdqBounds("95"))
+        .replace("FIN50", tdqFin("50")).replace("FIN95", tdqFin("95"))
+    },
     "q_ngram_gram_counts" ->
       """WITH grams AS (
         |  SELECT lower(substr(p_name, CAST(i AS INT), 2)) AS gram
         |  FROM (SELECT p_name, unnest(range(1, length(p_name))) AS i FROM part))
         |SELECT g.gram, (SELECT count(*) FROM grams WHERE grams.gram = g.gram) AS cnt
         |FROM (SELECT unnest(['an','ol','ra','re']) AS gram) g ORDER BY gram""".stripMargin,
-    "q_token_counts" ->
-      """SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_dedup_exact" ->
-      """SELECT count(*) AS docs, count(DISTINCT text) AS distinct_texts,
-        |       count(DISTINCT lower(text)) AS distinct_fps,
-        |       count(*) - count(DISTINCT text) AS dupes
-        |FROM documents""".stripMargin,
-    "q_ann_top3" ->
-      """WITH sims AS (
-        |  SELECT e1.vec_id AS query_id, e2.vec_id AS neighbor_id,
-        |         list_cosine_similarity(e1.embedding, e2.embedding) AS s
-        |  FROM embeddings e1 JOIN embeddings e2
-        |    ON e1.vec_id < 5 AND e2.vec_id <> e1.vec_id)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
-        |  SELECT query_id, neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
-        |  FROM sims) ranked
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_ngram_brand_similarity" ->
       """WITH ga AS (SELECT gram, count(*) AS c FROM (
         |       SELECT lower(substr(p_name, CAST(i AS INT), 2)) AS gram
@@ -367,7 +516,110 @@ object SparkEntry {
         |             FROM part WHERE p_brand = 'Brand#2')) GROUP BY gram),
         |     d AS (SELECT CAST(COALESCE(SUM(ga.c*gb.c), 0) AS DOUBLE) AS dot
         |           FROM ga JOIN gb USING (gram)),
-        |     na AS (SELECT sqrt(CAST(SUM(c*c) AS DOUBLE)) AS n FROM ga),
+        |     na AS (SELECT sqrt(CAST(SUM(c*c) AS DOUBLE)) AS n, CAST(count(*) AS BIGINT) AS sz FROM ga),
         |     nb AS (SELECT sqrt(CAST(SUM(c*c) AS DOUBLE)) AS n FROM gb)
-        |SELECT d.dot AS dot, d.dot/(na.n*nb.n) AS cosine FROM d, na, nb""".stripMargin)
+        |SELECT d.dot AS dot, d.dot/(na.n*nb.n) AS cosine,
+        |       na.sz AS size_a, na.n AS norm_a
+        |FROM d, na, nb""".stripMargin,
+    "q_bloom_jaccard_halves" ->
+      """WITH m AS (SELECT p_name,
+        |                  max(CASE WHEN p_partkey % 3 <> 0 THEN 1 ELSE 0 END) AS ina,
+        |                  max(CASE WHEN p_partkey % 3 <> 1 THEN 1 ELSE 0 END) AS inb
+        |           FROM part GROUP BY p_name)
+        |SELECT CAST(sum(ina) AS BIGINT) AS names_a,
+        |       CAST(sum(inb) AS BIGINT) AS names_b,
+        |       CAST(sum(ina * inb) AS BIGINT) AS names_inter,
+        |       count(*) AS names_union,
+        |       TRUE AS jaccard_ok, TRUE AS cover_ok, TRUE AS size_ok
+        |FROM m""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS docs, count(DISTINCT text) AS distinct_texts,
+        |       count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS distinct_fps,
+        |       count(*) - count(DISTINCT text) AS dupes
+        |FROM documents""".stripMargin,
+    "q_text_profile" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text,
+        |    length(text) AS n,
+        |    len(regexp_extract_all(text, '\p{L}')) AS alpha,
+        |    length(text) - length(replace(text, ' ', '')) AS space,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
+        |    len(regexp_extract_all(text, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS cjk
+        |  FROM documents),
+        |v AS (
+        |  SELECT *,
+        |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','you'], x))) AS h_en,
+        |    len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','ich','zu'], x))) AS h_de,
+        |    len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','pas','pour','que','une','dans','je'], x))) AS h_fr,
+        |    len(list_filter(ltoks, x -> list_contains(['el','la','los','las','es','de','que','una','para','por','yo'], x))) AS h_es,
+        |    len(list_filter(ltoks, x -> list_contains(['il','la','che','di','non','per','una','sono','con','del'], x))) AS h_it,
+        |    len(list_filter(ltoks, x -> list_contains(['o','a','os','de','que','uma','para','com','não','por'], x))) AS h_pt,
+        |    len(list_filter(ltoks, x -> list_contains(['de','het','een','van','en','is','niet','met','voor','dat'], x))) AS h_nl
+        |  FROM f),
+        |w AS (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_it, h_pt, h_nl) AS best FROM v)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS chars,
+        |  CAST(len(toks) AS BIGINT) AS tokens,
+        |  CAST(len(regexp_extract_all(text, '\p{L}{1,6}|\p{N}{1,3}|[^\p{L}\p{N}\s]')) AS BIGINT) AS bpeish_tokens,
+        |  CASE WHEN n = 0 THEN 0.0e0 ELSE
+        |    0.25e0 * (least(1.0e0, n / 200.0e0)
+        |      + CAST(alpha AS DOUBLE) / n
+        |      + CASE WHEN CAST(n - space AS DOUBLE) / (space + 1) >= 2 AND CAST(n - space AS DOUBLE) / (space + 1) <= 12 THEN 1.0e0 ELSE 0.5e0 END
+        |      + CASE WHEN len(toks) = 0 THEN 0.0e0 ELSE least(1.0e0, len(list_distinct(toks)) * 2.0e0 / len(toks)) END)
+        |  END AS quality,
+        |  CASE
+        |    WHEN alpha > 0 AND CAST(cjk AS DOUBLE) / alpha > 0.3e0 THEN 'zh'
+        |    WHEN len(ltoks) = 0 THEN 'und'
+        |    WHEN best = 0 OR best * 20 < len(ltoks) THEN 'und'
+        |    WHEN h_en = best THEN 'en' WHEN h_de = best THEN 'de'
+        |    WHEN h_fr = best THEN 'fr' WHEN h_es = best THEN 'es'
+        |    WHEN h_it = best THEN 'it' WHEN h_pt = best THEN 'pt'
+        |    ELSE 'nl' END AS lang_pred
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q_ann_top3" ->
+      """WITH sims AS (
+        |  SELECT e1.vec_id AS query_id, e2.vec_id AS neighbor_id,
+        |         list_cosine_similarity(e1.embedding, e2.embedding) AS s
+        |  FROM embeddings e1 JOIN embeddings e2
+        |    ON e1.vec_id < 5 AND e2.vec_id <> e1.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM sims) ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh_recall" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 200""".stripMargin,
+    "q_minhash_near_dup" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS g
+        |            FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+        |                  FROM documents WHERE length(text) >= 5)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_media_profile" ->
+      """WITH m AS (SELECT
+        |    CASE CAST(vec_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    vec_id % 64 + 16 AS width,
+        |    (vec_id * 7) % 64 + 16 AS height,
+        |    vec_id % 3 + 1 AS channels,
+        |    11 + vec_id % 100 + 1 AS bytes
+        |  FROM embeddings)
+        |SELECT kind, count(*) AS n,
+        |       avg(width) AS avg_w, avg(height) AS avg_h, avg(channels) AS avg_ch,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
 }

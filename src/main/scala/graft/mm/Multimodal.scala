@@ -51,10 +51,46 @@ object Multimodal {
     MediaMeta(kind, w, h, c, bytes.length.toLong)
   }
 
-  /** ======== STUB ========
-    * Deterministic fake of the pixel/sample decode: derives `dim` floats
-    * from a rolling hash of the payload. A real deployment replaces ONLY
-    * this function with an actual codec; every caller keeps its signature.
+  /** Real image decode for payloads the JDK's built-in codecs understand
+    * (PNG/JPEG/GIF/BMP via javax.imageio): grayscale pixel means pooled into
+    * `dim` buckets. Payloads that aren't a decodable image fall back to the
+    * deterministic stub below, so synthetic blobs keep working.
+    */
+  private def decodePixels(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return stubPixels(payload, dim)
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+        val b = ((y.toLong * w + x) * dim / (w.toLong * h)).toInt
+        sums(b) += gray; counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = if (counts(i) > 0) (sums(i) / counts(i)).toFloat else 0f
+      i += 1
+    }
+    out
+  }
+
+  /** ======== STUB (fallback only) ========
+    * Deterministic fake of the pixel/sample decode for payloads with no
+    * decodable codec in this container (raw synthetic bytes, audio, video):
+    * derives `dim` floats from a rolling hash of the payload. A real
+    * deployment replaces ONLY this function with an actual codec; every
+    * caller keeps its signature.
     */
   private def stubPixels(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -72,7 +108,7 @@ object Multimodal {
     */
   def features(bytes: Array[Byte], dim: Int): Array[Float] = {
     val meta = parseMeta(bytes)
-    val raw = stubPixels(java.util.Arrays.copyOfRange(bytes, 11, bytes.length), dim)
+    val raw = decodePixels(java.util.Arrays.copyOfRange(bytes, 11, bytes.length), dim)
     var norm = 0.0
     raw.foreach(v => norm += v.toDouble * v.toDouble)
     val inv = if (norm > 0) (1.0 / math.sqrt(norm)).toFloat else 0f
@@ -112,6 +148,13 @@ object Multimodal {
 
   // ---- Spark surface ----
   val mediaMetaUdf: UserDefinedFunction = udf((b: Array[Byte]) => parseMeta(b))
+  /** Blob constructor from typed fields (zero payload of `payloadLen` bytes)
+    * — lets a driver query round-trip the binary codec against a SQL oracle
+    * computed from the same integer fields.
+    */
+  val encodeMediaUdf: UserDefinedFunction =
+    udf((kind: String, w: Int, h: Int, ch: Int, payloadLen: Int) =>
+      encodeMedia(kind, w, h, ch, new Array[Byte](math.max(0, payloadLen))))
   val mediaFeaturesUdf: UserDefinedFunction =
     udf((b: Array[Byte], dim: Int) => features(b, dim))
   val frameSampleUdf: UserDefinedFunction =
@@ -120,6 +163,7 @@ object Multimodal {
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("media_meta", mediaMetaUdf)
+    spark.udf.register("media_encode", encodeMediaUdf)
     spark.udf.register("media_features", mediaFeaturesUdf)
     spark.udf.register("media_frames", frameSampleUdf)
     spark.udf.register("synthetic_media", syntheticMediaUdf)

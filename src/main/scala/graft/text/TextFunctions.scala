@@ -20,7 +20,10 @@ import graft.sketch.core.XxHash64
 object TextFunctions {
 
   // ---- language ID: tiny per-language stopword profiles + script check ----
-  private val Profiles: Map[String, Set[String]] = Map(
+  // Ordered (not a HashMap): the vote is "first declared language with the
+  // strictly-highest hit count", which must be deterministic — the DuckDB
+  // oracle replicates this exact order in SQL.
+  private[text] val Profiles: Vector[(String, Set[String])] = Vector(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "you"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "ich", "zu"),
     "fr" -> Set("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans", "je"),
@@ -107,6 +110,29 @@ object TextFunctions {
     XxHash64.hash(norm, 0xf00dfeedL)
   }
 
+  /** Exact character-shingle Jaccard of two texts — the verification step
+    * behind MinHash-LSH candidates (candidates are approximate; the standard
+    * pipeline verifies each candidate pair exactly before acting on it).
+    */
+  def exactShingleJaccard(a: String, b: String, shingle: Int): Double = {
+    def sh(t: String): java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      if (t != null && t.length >= shingle) {
+        val lo = t.toLowerCase(Locale.ROOT)
+        var i = 0
+        val n = lo.length - shingle + 1
+        while (i < n) { s.add(lo.substring(i, i + shingle)); i += 1 }
+      }
+      s
+    }
+    val sa = sh(a); val sb = sh(b)
+    if (sa.isEmpty && sb.isEmpty) return 0.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
   /** Cosine similarity of two float vectors (embedding columns). */
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -153,6 +179,20 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
 
   val simhashUdf: UserDefinedFunction = udf((t: String) => SimHash.ofText(t))
   val hammingUdf: UserDefinedFunction = udf((a: Long, b: Long) => SimHash.hamming(a, b))
+  val exactJaccardUdf: UserDefinedFunction =
+    udf((a: String, b: String) => exactShingleJaccard(a, b, shingle))
+
+  /** Codegen-friendly (no ScalaUDF) whitespace token count. */
+  def tokenCountCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{filter => afilter, size => asize, split, when, lit}
+    when(c.isNull, lit(0))
+      .otherwise(asize(afilter(split(c, "\\s+"), t => t =!= "")))
+  }
+
+  /** Codegen-friendly SimHash hamming distance over two Long fingerprints. */
+  def hammingCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
 
   val cosineUdf: UserDefinedFunction =
     udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
@@ -164,6 +204,8 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
     udf((v: Seq[Float]) => VectorLsh.bucketKeys(v, 12, 8))
   val annBucketsParamUdf: UserDefinedFunction =
     udf((v: Seq[Float], bits: Int, tables: Int) => VectorLsh.bucketKeys(v, bits, tables))
+  val perturbUdf: UserDefinedFunction =
+    udf((v: Seq[Float], id: Long, eps: Double) => VectorLsh.perturb(v, id, eps))
 
   def register(spark: SparkSession, prefix: String = ""): Unit = {
     def reg(name: String, f: UserDefinedFunction): Unit = spark.udf.register(prefix + name, f)
@@ -178,6 +220,7 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
     reg("minhash_agg", minhashAgg)
     reg("simhash", simhashUdf)
     reg("hamming", hammingUdf)
+    reg("exact_jaccard", exactJaccardUdf)
     reg("cosine_sim", cosineUdf)
     reg("ann_buckets", annBucketsUdf)
     reg("ann_buckets_p", annBucketsParamUdf)

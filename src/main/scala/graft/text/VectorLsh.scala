@@ -56,6 +56,31 @@ object VectorLsh {
     sig
   }
 
+  /** Deterministic near-duplicate of `v`: adds hash-derived Gaussian noise
+    * of relative magnitude `eps` per dimension. Used to synthesize realistic
+    * ANN probes (a query vector that is a small perturbation of an indexed
+    * vector — the standard retrieval scenario) from fixed test data, keeping
+    * the whole recall pipeline deterministic.
+    */
+  def perturb(v: Seq[Float], id: Long, eps: Double): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var norm = 0.0
+    var i = 0
+    while (i < v.length) { norm += v(i).toDouble * v(i).toDouble; i += 1 }
+    val scale = eps * math.sqrt(norm / math.max(1, v.length))
+    i = 0
+    while (i < v.length) {
+      val h1 = XxHash64.hashLong((id << 20) | i.toLong, 0x9d2c5680L)
+      val h2 = XxHash64.hashLong(h1, 0xefc60000L)
+      val u1 = ((h1 >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+      val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
+      val g = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      out(i) = (v(i) + scale * g).toFloat
+      i += 1
+    }
+    out
+  }
+
   /** Bucket keys for all tables, namespaced so different tables never
     * collide: key = hash(table, signature).
     */

@@ -24,6 +24,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("real PNG payloads decode through javax.imageio, not the stub") {
+    // build a 32x16 gradient PNG with the JDK's own encoder
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val g = (y * 255) / 15 // vertical gradient: dark top, bright bottom
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val blob = Multimodal.encodeMedia("image", 32, 16, 3, bos.toByteArray)
+    val feats = Multimodal.features(blob, 4)
+    // a vertical gradient pooled into 4 row-major buckets must come out
+    // strictly increasing after a real decode — the hash-stub fallback
+    // would give sign-random values instead
+    assert(feats.length == 4)
+    assert(feats.forall(_ >= 0f), s"gradient means must be >= 0: ${feats.toSeq}")
+    assert(feats.sliding(2).forall(p => p(0) < p(1)),
+      s"row-major buckets of a vertical gradient must increase: ${feats.toSeq}")
+    // deterministic across calls
+    assert(Multimodal.features(blob, 4).toSeq == feats.toSeq)
+  }
+
   test("header codec round-trips; parser rejects garbage") {
     val blob = Multimodal.encodeMedia("image", 32, 24, 3, Array[Byte](1, 2, 3))
     val meta = Multimodal.parseMeta(blob)

@@ -33,6 +33,26 @@ class VectorLshSpec extends AnyFunSuite {
     assert(same.toSet.intersect(p.toSet).size >= 6, "tiny perturbation keeps most buckets")
   }
 
+  test("perturb makes a deterministic near-duplicate with high cosine") {
+    val v = randVec(7, 64)
+    val p1 = VectorLsh.perturb(v.toSeq, 7L, 0.15)
+    val p2 = VectorLsh.perturb(v.toSeq, 7L, 0.15)
+    assert(p1.toSeq == p2.toSeq, "perturb must be deterministic")
+    assert(cos(v, p1) > 0.9, s"cos=${cos(v, p1)}")
+    val other = VectorLsh.perturb(v.toSeq, 8L, 0.15)
+    assert(other.toSeq != p1.toSeq, "different ids must perturb differently")
+  }
+
+  test("exact shingle jaccard: identity, disjoint, and known overlap") {
+    import TextFunctions.exactShingleJaccard
+    assert(exactShingleJaccard("abcdefgh", "abcdefgh", 5) == 1.0)
+    assert(exactShingleJaccard("aaaaa", "bbbbb", 5) == 0.0)
+    // "abcdef" -> {abcde, bcdef}; "abcdeX" -> {abcde}: J = 1/2
+    assert(exactShingleJaccard("abcdef", "abcde", 5) == 0.5)
+    assert(exactShingleJaccard("ABCDEF", "abcdef", 5) == 1.0, "case-folded")
+    assert(exactShingleJaccard(null, "abcdef", 5) == 0.0)
+  }
+
   test("signatures are deterministic across 'executors' (fresh cache)") {
     val v = randVec(7, 32)
     assert(VectorLsh.signature(v, 16, 3) == VectorLsh.signature(v.toSeq, 16, 3))
