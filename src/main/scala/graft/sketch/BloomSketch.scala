@@ -24,6 +24,24 @@ final class BloomSketch private (val width: Int, val depth: Int, val words: Arra
     }
   }
 
+  /** Add from UTF-8 bytes without materializing a String. ASCII bytes hash
+    * identically to `add(new String(v, UTF_8))`; non-ASCII falls back to the
+    * String path (the reference hashes UTF-16 code units, which diverge from
+    * UTF-8 bytes beyond 0x7F). Hot path of the 10^12-row ingest: saves a
+    * char[] decode + String alloc per row.
+    */
+  def addUtf8(v: Array[Byte]): Unit = {
+    if (Fnv1a.isAscii(v)) {
+      Fnv1a.locationsHash(Fnv1a.fnv1aAsciiBytes(v), depth, width, scratch)
+      var i = 0
+      while (i < depth) {
+        val l = scratch(i)
+        words(l >>> 5) |= 1 << (l % 32)
+        i += 1
+      }
+    } else add(new String(v, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Membership query — false positives possible, no false negatives. */
   def query(v: String): Boolean = {
     Fnv1a.locations(v, depth, width, scratch)

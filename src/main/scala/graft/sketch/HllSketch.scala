@@ -31,6 +31,11 @@ final class HllSketch private (
 
   def add(v: String): Unit = addHash(XxHash64.hash(v, Seed))
   def addLong(v: Long): Unit = addHash(XxHash64.hashLong(v, Seed))
+  /** Add from UTF-8 bytes — identical to `add(new String(v, UTF_8))` for all
+    * valid UTF-8 (xxHash is defined over the UTF-8 byte stream), without the
+    * per-row String materialization.
+    */
+  def addUtf8(v: Array[Byte]): Unit = addHash(XxHash64.hashBytes(v, Seed))
 
   def addHash(h: Long): Unit = {
     if (sparse != null) {

@@ -5,8 +5,13 @@ import org.apache.spark.sql.expressions.Aggregator
 
 import graft.sketch._
 
-/** Input projection for the composite transcript aggregator. */
-case class TurnInput(conv_id: String, tool: String, len: java.lang.Double)
+/** Input projection for the composite transcript aggregator. Ids arrive as
+  * UTF-8 bytes (`cast(conv_id as binary)`) — the sketches hash bytes
+  * directly, so the per-row char[] decode + String allocation of a String
+  * encoder never happens. At 10^12 rows that allocation is the difference
+  * between scaling to 32 threads and stalling the heap.
+  */
+case class TurnInput(conv_id: Array[Byte], tool: Array[Byte], len: java.lang.Double)
 
 /** All six north-rule sketches, serialized. */
 case class TurnSketchResult(
@@ -26,12 +31,39 @@ final class TurnSketches(
     val td: TDigestSketch,
     val kll: KllSketch,
     val bloom: BloomSketch,
-    var turns: Long) extends Serializable
+    var turns: Long) extends Serializable {
+  /** Tool-name intern cache: the tool domain is tiny (~50 values, Zipf), so
+    * the String the Space-Saving summary needs is decoded once per distinct
+    * byte pattern per buffer, keyed by 64-bit content hash (collision odds
+    * across a ~10^2 domain: ~1e-16). Transient — rebuilt empty after any
+    * buffer serde.
+    */
+  @transient private var toolCache: java.util.HashMap[java.lang.Long, String] = _
+  def internTool(b: Array[Byte]): String = {
+    if (toolCache == null) toolCache = new java.util.HashMap[java.lang.Long, String]()
+    val k = java.lang.Long.valueOf(graft.sketch.core.XxHash64.hashBytes(b, 0x7007L))
+    var s = toolCache.get(k)
+    if (s == null) {
+      s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      toolCache.put(k, s)
+    }
+    s
+  }
+}
 
-/** The flagship six-sketch build as ONE Aggregator: one aggregation-buffer
+/** The flagship multi-sketch build as ONE Aggregator: one aggregation-buffer
   * lookup and one input conversion per row instead of six. This is the
   * operator `SketchJob`'s map-side pass uses through the UDAF path — at
   * 10^12 rows the per-row constant is the whole game.
+  *
+  * `bloomW = 0` disables the conv-id Bloom (emits empty bytes). A mergeable
+  * membership filter must be sized to the group's distinct count
+  * (`Bloom.create(n, p)` — e.g. 12M convs @ 2% FPR needs ~14 MB); riding an
+  * undersized default inside the hot per-role aggregation saturates the
+  * filter (FPR → 1, zero information) while quadrupling the partial-state
+  * shuffled per map task. Capacity-planned membership jobs configure it
+  * explicitly; the throughput flagship runs the five capacity-valid
+  * sketches.
   */
 final class TurnSketchAgg(
     hllP: Int = HllSketch.DefaultP,
@@ -46,17 +78,19 @@ final class TurnSketchAgg(
 
   def zero: TurnSketches = new TurnSketches(
     HllSketch(hllP), CmsSketch(cmsWidth, cmsDepth), SpaceSavingSketch(topKCapacity),
-    TDigestSketch.fast(tdigestNc), KllSketch(kllK), BloomSketch(bloomW, bloomD), 0L)
+    TDigestSketch.fast(tdigestNc), KllSketch(kllK),
+    if (bloomW > 0) BloomSketch(bloomW, bloomD) else null, 0L)
 
   def reduce(b: TurnSketches, v: TurnInput): TurnSketches = {
     if (v != null) {
       if (v.conv_id != null) {
-        b.hll.add(v.conv_id)
-        b.bloom.add(v.conv_id)
+        b.hll.addUtf8(v.conv_id)
+        if (b.bloom != null) b.bloom.addUtf8(v.conv_id)
       }
       if (v.tool != null) {
-        b.cms.add(v.tool)
-        b.topk.add(v.tool)
+        val tool = b.internTool(v.tool)
+        b.cms.add(tool)
+        b.topk.add(tool)
       }
       if (v.len != null) {
         b.td.add(v.len.doubleValue())
@@ -73,14 +107,15 @@ final class TurnSketchAgg(
     a.topk.mergeInPlace(b.topk)
     a.td.mergeInPlace(b.td)
     a.kll.mergeInPlace(b.kll)
-    a.bloom.unionInPlace(b.bloom)
+    if (a.bloom != null) a.bloom.unionInPlace(b.bloom)
     a.turns += b.turns
     a
   }
 
   def finish(b: TurnSketches): TurnSketchResult = TurnSketchResult(
     b.hll.toBytes, b.cms.toBytes, b.topk.toBytes,
-    b.td.toBytes, b.kll.toBytes, b.bloom.toBytes, b.turns)
+    b.td.toBytes, b.kll.toBytes,
+    if (b.bloom != null) b.bloom.toBytes else Array.emptyByteArray, b.turns)
 
   def bufferEncoder: Encoder[TurnSketches] = Encoders.kryo[TurnSketches]
   def outputEncoder: Encoder[TurnSketchResult] = Encoders.product[TurnSketchResult]

@@ -53,8 +53,13 @@ object Fnv1a {
     *
     * `out` must have length >= d.
     */
-  def locations(v: String, d: Int, w: Int, out: Array[Int]): Unit = {
-    val a = fnv1a(v)
+  def locations(v: String, d: Int, w: Int, out: Array[Int]): Unit =
+    locationsHash(fnv1a(v), d, w, out)
+
+  /** `locations` from a precomputed fnv1a hash (shared by the String and
+    * ASCII-bytes entry points).
+    */
+  def locationsHash(a: Int, d: Int, w: Int, out: Array[Int]): Unit = {
     val b = fnv1aB(a)
     var x = (a % w).toLong
     var i = 0
@@ -64,6 +69,30 @@ object Fnv1a {
       x = (x + b) % w
       i += 1
     }
+  }
+
+  /** FNV-1a over raw bytes interpreted as chars <= 0xFF. For ASCII input
+    * this equals `fnv1a(new String(b, UTF_8))` exactly (each char takes the
+    * single-byte branch of the UTF-16 loop); callers must route non-ASCII
+    * bytes through the String path instead. Returns the hash, or throws
+    * nothing — use `isAscii` to pick the path.
+    */
+  def fnv1aAsciiBytes(v: Array[Byte]): Int = {
+    var a = 0x811c9dc5
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      a = fnvMultiply(a ^ (v(i) & 0xff))
+      i += 1
+    }
+    fnvMix(a)
+  }
+
+  @inline def isAscii(v: Array[Byte]): Boolean = {
+    var i = 0
+    var acc = 0
+    while (i < v.length) { acc |= v(i); i += 1 }
+    acc >= 0
   }
 }
 

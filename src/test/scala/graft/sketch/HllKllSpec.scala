@@ -55,6 +55,20 @@ class HllKllSpec extends AnyFunSuite {
     }
   }
 
+  test("addUtf8 byte path == add(String) path: HLL all UTF-8, Bloom ASCII + fallback") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val values = Seq("conv-00001234", "tool_07", "", "a", "héllo wörld", "日本語テスト", "mixed-ascii-日本")
+    val hs = HllSketch(); val hb = HllSketch()
+    values.foreach(hs.add)
+    values.foreach(v => hb.addUtf8(v.getBytes(utf8)))
+    assert(hs.toBytes.toSeq == hb.toBytes.toSeq, "HLL byte/string state parity")
+    val bs = BloomSketch(4096, 5); val bb = BloomSketch(4096, 5)
+    values.foreach(bs.add)
+    values.foreach(v => bb.addUtf8(v.getBytes(utf8)))
+    assert(bs.words.toSeq == bb.words.toSeq, "Bloom byte/string state parity (ASCII fast path + UTF-8 fallback)")
+    values.foreach(v => assert(bb.query(v), s"membership through byte-add: $v"))
+  }
+
   test("HLL addLong and add(string) both distribute") {
     val h = HllSketch()
     (0L until 100000L).foreach(h.addLong)

@@ -293,6 +293,23 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(row.getDouble(0) - row.getInt(1)) / exact < 0.05)
   }
 
+  test("SketchJob completeness guard rejects tampered checkpoint ids") {
+    val cfg = SketchJob.Config(
+      input = s"$tdir/transcripts",
+      output = s"$tdir/job-guard-out",
+      checkpointDir = s"$tdir/ckpt-guard")
+    SketchJob.run(spark, cfg)
+    val ckpts = new java.io.File(s"$tdir/ckpt-guard").listFiles()
+      .filter(_.getName.endsWith(".ckpt")).sortBy(_.getName)
+    assert(ckpts.length >= 2)
+    // push one checkpoint beyond the planned id range: the rerun rebuilds
+    // the now-missing id, then must refuse the out-of-range file loudly
+    val rogue = new java.io.File(ckpts.head.getParentFile, "part-00099.ckpt")
+    assert(ckpts.head.renameTo(rogue))
+    val e = intercept[IllegalArgumentException] { SketchJob.run(spark, cfg) }
+    assert(e.getMessage.contains("unexpected checkpoint ids"), e.getMessage)
+  }
+
   test("SketchJob date pruning + manifest invalidation on filter change") {
     val cfg = SketchJob.Config(
       input = s"$tdir/transcripts",
