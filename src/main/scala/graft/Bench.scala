@@ -159,6 +159,10 @@ object Bench {
         TranscriptGen.ensure(spark, benchPath, benchConvs, hotConvs = 8,
           hotTurns = 20000, parallelism = 64)
         if (withQueries && !sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
+          // one untimed pass first: queries are timed at steady state
+          // (codegen + first-planning of the multi-stage plans costs 3-5s
+          // once per JVM and is not what the engine costs per query)
+          SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir).collect() }
           queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
             val (_, sec) = timed(fn(spark, sfDir).collect())
             name -> sec

@@ -317,35 +317,39 @@ object SparkEntry {
     // gated as a boolean; everything is hash-deterministic on fixed data.
     "q_ann_lsh_recall" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") < 200)
+      // probes are the small query set by design → broadcast is scale-safe
+      val probes = broadcast(emb.filter(col("vec_id") < 200)
         .select(col("vec_id").as("query_id"),
-          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe"))
-      val banded = emb.select(col("vec_id"),
+          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe")))
+      val rawBanded = emb.select(col("vec_id"),
         explode(tfns.annBucketsParamUdf(col("embedding"), lit(10), lit(12))).as("bucket"))
-        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-        .filter(col("bsz") <= LshBucketCap)
-      val probeBanded = probes.select(col("query_id"),
-        explode(tfns.annBucketsParamUdf(col("qe"), lit(10), lit(12))).as("bucket"))
+      // degenerate-bucket cap as a broadcast ANTI-join: the oversized-bucket
+      // list is tiny by construction (only pathological buckets exceed the
+      // cap), so the big banded side is never shuffled — unlike a
+      // count-over-window, which would reshuffle every row
+      val hot = rawBanded.groupBy(col("bucket")).count().filter(col("count") > LshBucketCap)
+        .select(col("bucket"))
+      val banded = rawBanded.join(broadcast(hot), Seq("bucket"), "left_anti")
+      val probeBanded = broadcast(probes.select(col("query_id"),
+        explode(tfns.annBucketsParamUdf(col("qe"), lit(10), lit(12))).as("bucket")))
       val candIds = probeBanded.as("a").join(banded.as("b"), "bucket")
         .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"))
         .distinct()
-      val cand = candIds
+      // top-1 via partial-aggregatable max_by (no window sort); ties break
+      // to the lowest neighbor_id through the (s, -neighbor_id) struct order
+      def top1(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.groupBy(col("query_id"))
+          .agg(max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id"))).as(as))
+      val lshTop = top1(candIds
         .join(probes, "query_id")
         .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
           "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
-      val w = Window.partitionBy(col("query_id")).orderBy(desc("s"), asc("neighbor_id"))
-      val lshTop = cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1)
-        .select(col("query_id"), col("neighbor_id").as("lsh_top1"))
-      val bf = broadcast(probes)
+          tfns.cosineUdf(col("qe"), col("ne")).as("s")), "lsh_top1")
+      val bf = top1(probes
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
         .select(col("query_id"), col("neighbor_id"),
-          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1)
-        .select(col("query_id"), col("neighbor_id").as("bf_top1"))
+          tfns.cosineUdf(col("qe"), col("ne")).as("s")), "bf_top1")
       bf.join(lshTop, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           (sum(when(col("lsh_top1") === col("bf_top1"), 1).otherwise(0))
@@ -362,9 +366,9 @@ object SparkEntry {
       val banded = docs
         .select(col("doc_id"), tfns.minhashSigUdf(col("text")).as("sig"))
         .select(col("doc_id"), explode(tfns.minhashBandsUdf(col("sig"))).as("band"))
-      val capped = banded
-        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"))))
-        .filter(col("bsz") <= LshBucketCap)
+      val hot = banded.groupBy(col("band")).count().filter(col("count") > LshBucketCap)
+        .select(col("band"))
+      val capped = banded.join(broadcast(hot), Seq("band"), "left_anti")
       val pairs = capped.as("a").join(capped.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
