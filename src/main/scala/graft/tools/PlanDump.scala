@@ -1,0 +1,53 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Regenerates PLANS.md: captured physical plans of the load-bearing
+  * operators, with the review notes. Run after any plan-shape change.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    def dump(title: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      sb.append(s"\n===== $title =====\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    val bench = "/root/repo/data/transcripts-c12000000"
+    val agg = udaf(new graft.sketch.agg.TurnSketchAgg(cmsWidth = 8192, cmsDepth = 5, bloomW = 0))
+    val flagship = spark.read.parquet(bench)
+      .filter(col("ts_date") >= "2025-01-05" && col("ts_date") <= "2025-01-15")
+      .select(col("conv_id").cast("binary").as("conv_id"), col("role"),
+        col("tool").cast("binary").as("tool"), col("text_len").cast("double").as("len"))
+      .groupBy(col("role"))
+      .agg(agg(col("conv_id"), col("tool"), col("len")).as("sk"))
+    dump("FLAGSHIP SKETCH BUILD (pruned scan -> binary ids -> partial/final ObjectHashAggregate)", flagship)
+
+    val fns = graft.sketch.agg.SketchFunctions.default
+    val perDate = spark.read.parquet(bench)
+      .groupBy(col("ts_date")).agg(fns.hllAgg(col("conv_id")).as("hll"))
+    val merged = perDate.agg(fns.hllMergeAgg(col("hll")).as("hll"))
+    dump("TWO-LEVEL TREE MERGE (sketch-column re-aggregation)", merged)
+
+    val sf = "/root/testdata/sf0.1"
+    dump("q_token_counts (pure built-ins: no ScalaUDF, whole-stage codegen)",
+      graft.SparkEntry.queries("q_token_counts")(spark, sf))
+    dump("q_minhash_near_dup (band join, broadcast ANTI-join bucket cap, id-dedup before verify)",
+      graft.SparkEntry.queries("q_minhash_near_dup")(spark, sf))
+    dump("q_ann_lsh_recall (broadcast probes, anti-join cap, max_by top-1)",
+      graft.SparkEntry.queries("q_ann_lsh_recall")(spark, sf))
+
+    val header = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/repo/scripts/plans_header.md"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"),
+      header + "\n```" + sb.toString + "\n```\n")
+    println("PLANS.md written")
+    spark.stop()
+  }
+}
