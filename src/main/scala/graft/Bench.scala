@@ -66,9 +66,24 @@ object Bench {
     s
   }
 
-  /** The flagship sketch-build: the north-rule sketches per role in one
-    * pass (map-side partial agg → 4-row shuffle → final merge). Ids enter
-    * as binary (UTF-8 bytes) — hashed directly, never decoded to String.
+  /** The flagship sketch-build: the native TypedImperativeAggregate
+    * (graft.plans.TurnSketchNativeAgg) — per-role composite sketches built
+    * by hashing UTF8String memory straight out of the InternalRow; nothing
+    * is materialized per row between the scan and the sketch arrays.
+    */
+  private def sketchBuildNative(spark: SparkSession, path: String): Long = {
+    val df = spark.read.parquet(path)
+    df.createOrReplaceTempView("bench_transcripts")
+    val rows = spark.sql(
+      """SELECT role, turn_sketch_native(conv_id, tool, CAST(text_len AS DOUBLE)) AS sk
+        |FROM bench_transcripts GROUP BY role""".stripMargin)
+      .select(col("role"), col("sk.*")).collect()
+    require(rows.forall(_.getAs[Array[Byte]]("hll_conv").nonEmpty))
+    rows.map(_.getAs[Long]("turns")).sum
+  }
+
+  /** The Aggregator/udaf() variant of the same build (binary-cast ids) —
+    * kept as a reported comparison point; byte-identical sketch states.
     */
   private def sketchBuild(spark: SparkSession, path: String,
       fullText: Boolean = false, withBloom: Boolean = false): Long = {
@@ -146,7 +161,8 @@ object Bench {
 
     var queries = Map.empty[String, Double]
     var turns = 0L
-    val thr = scala.collection.mutable.Map.empty[Int, Double]     // flagship
+    val thr = scala.collection.mutable.Map.empty[Int, Double]     // flagship (native)
+    val thrUdaf = scala.collection.mutable.Map.empty[Int, Double] // Aggregator/udaf()
     val thrAll6 = scala.collection.mutable.Map.empty[Int, Double] // legacy all-6
     val scanThr = scala.collection.mutable.Map.empty[Int, Double] // reader ceiling
     val jobThr = scala.collection.mutable.Map.empty[Int, Double]  // SketchJob
@@ -156,6 +172,7 @@ object Bench {
         withQueries: Boolean, withAll6: Boolean): Unit = {
       val spark = session(cores)
       try {
+        graft.plans.TurnSketchNativeAgg.register(spark, cmsWidth = 8192, cmsDepth = 5)
         TranscriptGen.ensure(spark, benchPath, benchConvs, hotConvs = 8,
           hotTurns = 20000, parallelism = 64)
         if (withQueries && !sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
@@ -169,8 +186,10 @@ object Bench {
           }.toMap
         }
         // warmup (codegen + classloading), then best-of-3 measured runs
-        turns = sketchBuild(spark, benchPath)
-        thr(cores) = turns / best3(sketchBuild(spark, benchPath))
+        turns = sketchBuildNative(spark, benchPath)
+        thr(cores) = turns / best3(sketchBuildNative(spark, benchPath))
+        sketchBuild(spark, benchPath)
+        thrUdaf(cores) = turns / best3(sketchBuild(spark, benchPath))
         scanOnly(spark, benchPath)
         scanThr(cores) = turns / best3(scanOnly(spark, benchPath))
         if (withAll6) {
@@ -234,6 +253,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","bench_turns":$turns,""" +
         s""""sketch_build_turns_per_sec":${thrJson(thr)},""" +
+        s""""sketch_build_udaf_turns_per_sec":${thrJson(thrUdaf)},""" +
         s""""scan_only_turns_per_sec":${thrJson(scanThr)},""" +
         s""""sketch_build_all6_turns_per_sec":${thrJson(thrAll6)},""" +
         s""""sketch_job_turns_per_sec":${thrJson(jobThr)},""" +
@@ -261,7 +281,7 @@ object Bench {
       def cell(m: scala.collection.Map[Int, Double], c: Int): String =
         m.get(c).map(v => f"${v / 1e6}%.2fM").getOrElse("-")
       def row(c: Int): String =
-        s"| local[$c] | ${cell(thr, c)} | ${cell(scanThr, c)} | " +
+        s"| local[$c] | ${cell(thr, c)} | ${cell(thrUdaf, c)} | ${cell(scanThr, c)} | " +
           s"${cell(thrAll6, c)} | ${cell(jobThr, c)} | ${cell(ftThr, c)} |"
       val table = Seq(2, 4, 8, 16, 32).map(row).mkString("\n")
       val md =
@@ -269,9 +289,12 @@ object Bench {
            |
            |North-rule metric: sketch-build throughput over the synthetic
            |transcripts table ($turns turns, $benchConvs convs, planted hot
-           |conv_ids). Flagship = per-role composite UDAF (HLL++ conv_id,
-           |CMS tool, Space-Saving top-k tool, t-digest len, KLL len) with
-           |ids ingested as UTF-8 bytes (no per-row String decode).
+           |conv_ids). Flagship = per-role composite native Catalyst aggregate
+           |(`turn_sketch_native`, a TypedImperativeAggregate: HLL++ conv_id,
+           |CMS tool, Space-Saving top-k tool, t-digest len, KLL len) hashing
+           |UTF8String memory in place — no per-row decode or allocation.
+           |The Aggregator/udaf() variant (binary-cast ids) is reported
+           |alongside; sketch states are byte-identical across both paths.
            |
            |## Official scaling pair (N → 4N, same job, same input)
            |
@@ -308,8 +331,8 @@ object Bench {
            |
            |## Ladder (turns/s, best of 3)
            |
-           || cores | flagship | scan-only | all-6 legacy | SketchJob | full-text |
-           || --- | --- | --- | --- | --- | --- |
+           || cores | flagship (native) | udaf variant | scan-only | all-6 legacy | SketchJob | full-text |
+           || --- | --- | --- | --- | --- | --- | --- |
            |TABLE_GOES_HERE
            |
            |## Config notes

@@ -42,6 +42,19 @@ final class BloomSketch private (val width: Int, val depth: Int, val words: Arra
     } else add(new String(v, java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Add from a precomputed FNV-1a hash (callers that hash bytes/memory
+    * directly — see `Fnv1a.fnv1aAsciiBytes`/`fnv1aAsciiMemory`).
+    */
+  def addFnv(a: Int): Unit = {
+    Fnv1a.locationsHash(a, depth, width, scratch)
+    var i = 0
+    while (i < depth) {
+      val l = scratch(i)
+      words(l >>> 5) |= 1 << (l % 32)
+      i += 1
+    }
+  }
+
   /** Membership query — false positives possible, no false negatives. */
   def query(v: String): Boolean = {
     Fnv1a.locations(v, depth, width, scratch)

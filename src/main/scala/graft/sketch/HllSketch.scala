@@ -36,6 +36,11 @@ final class HllSketch private (
     * per-row String materialization.
     */
   def addUtf8(v: Array[Byte]): Unit = addHash(XxHash64.hashBytes(v, Seed))
+  /** Add from a raw memory region holding UTF-8 bytes (e.g. a UTF8String's
+    * backing region) — zero-copy variant of `addUtf8`.
+    */
+  def addUtf8Memory(base: AnyRef, offset: Long, len: Int): Unit =
+    addHash(XxHash64.hashMemory(base, offset, len, Seed))
 
   def addHash(h: Long): Unit = {
     if (sparse != null) {

@@ -76,28 +76,6 @@ class GraftKryoRegistrator extends KryoRegistrator {
     kryo.register(classOf[MinHashSketch],
       codecSerializer[MinHashSketch](_.toBytes, MinHashSketch.fromBytes))
     kryo.register(classOf[TurnSketches],
-      codecSerializer[TurnSketches](
-        { t =>
-          // bloom is optional (TurnSketchAgg bloomW=0): empty bytes sentinel
-          val parts = Seq(t.hll.toBytes, t.cms.toBytes, t.topk.toBytes,
-            t.td.toBytes, t.kll.toBytes,
-            if (t.bloom != null) t.bloom.toBytes else Array.emptyByteArray)
-          val bb = java.nio.ByteBuffer.allocate(8 + parts.map(_.length + 4).sum)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.putLong(t.turns)
-          parts.foreach { p => bb.putInt(p.length); bb.put(p) }
-          val out = new Array[Byte](bb.position()); bb.flip(); bb.get(out); out
-        },
-        { bytes =>
-          val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val turns = bb.getLong()
-          def part(): Array[Byte] = { val a = new Array[Byte](bb.getInt()); bb.get(a); a }
-          val hll = HllSketch.fromBytes(part()); val cms = CmsSketch.fromBytes(part())
-          val topk = SpaceSavingSketch.fromBytes(part())
-          val td = TDigestSketch.fromBytes(part()); val kll = KllSketch.fromBytes(part())
-          val bloomBytes = part()
-          new TurnSketches(hll, cms, topk, td, kll,
-            if (bloomBytes.isEmpty) null else BloomSketch.fromBytes(bloomBytes), turns)
-        }))
+      codecSerializer[TurnSketches](TurnSketches.encode, TurnSketches.decode))
   }
 }

@@ -39,15 +39,48 @@ final class TurnSketches(
     * buffer serde.
     */
   @transient private var toolCache: java.util.HashMap[java.lang.Long, String] = _
-  def internTool(b: Array[Byte]): String = {
+  private def cached(k0: Long)(mk: => String): String = {
     if (toolCache == null) toolCache = new java.util.HashMap[java.lang.Long, String]()
-    val k = java.lang.Long.valueOf(graft.sketch.core.XxHash64.hashBytes(b, 0x7007L))
+    val k = java.lang.Long.valueOf(k0)
     var s = toolCache.get(k)
-    if (s == null) {
-      s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      toolCache.put(k, s)
-    }
+    if (s == null) { s = mk; toolCache.put(k, s) }
     s
+  }
+  def internTool(b: Array[Byte]): String =
+    cached(graft.sketch.core.XxHash64.hashBytes(b, 0x7007L))(
+      new String(b, java.nio.charset.StandardCharsets.UTF_8))
+  def internTool(u: org.apache.spark.unsafe.types.UTF8String): String =
+    cached(graft.sketch.core.XxHash64.hashMemory(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, 0x7007L))(u.toString)
+}
+
+object TurnSketches {
+  /** Composite codec shared by the Kryo buffer serializer and the native
+    * TypedImperativeAggregate's serialize/deserialize: length-prefixed
+    * concatenation of each sketch's own binary codec (bloom optional —
+    * empty bytes when disabled).
+    */
+  def encode(t: TurnSketches): Array[Byte] = {
+    val parts = Seq(t.hll.toBytes, t.cms.toBytes, t.topk.toBytes,
+      t.td.toBytes, t.kll.toBytes,
+      if (t.bloom != null) t.bloom.toBytes else Array.emptyByteArray)
+    val bb = java.nio.ByteBuffer.allocate(8 + parts.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(t.turns)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    val out = new Array[Byte](bb.position()); bb.flip(); bb.get(out); out
+  }
+
+  def decode(bytes: Array[Byte]): TurnSketches = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val turns = bb.getLong()
+    def part(): Array[Byte] = { val a = new Array[Byte](bb.getInt()); bb.get(a); a }
+    val hll = HllSketch.fromBytes(part()); val cms = CmsSketch.fromBytes(part())
+    val topk = SpaceSavingSketch.fromBytes(part())
+    val td = TDigestSketch.fromBytes(part()); val kll = KllSketch.fromBytes(part())
+    val bloomBytes = part()
+    new TurnSketches(hll, cms, topk, td, kll,
+      if (bloomBytes.isEmpty) null else BloomSketch.fromBytes(bloomBytes), turns)
   }
 }
 

@@ -94,6 +94,28 @@ object Fnv1a {
     while (i < v.length) { acc |= v(i); i += 1 }
     acc >= 0
   }
+
+  /** `fnv1aAsciiBytes` over raw memory (e.g. a UTF8String's backing region)
+    * — no byte[] copy. Same ASCII-only contract.
+    */
+  def fnv1aAsciiMemory(base: AnyRef, offset: Long, len: Int): Int = {
+    import org.apache.spark.unsafe.Platform
+    var a = 0x811c9dc5
+    var i = 0
+    while (i < len) {
+      a = fnvMultiply(a ^ (Platform.getByte(base, offset + i) & 0xff))
+      i += 1
+    }
+    fnvMix(a)
+  }
+
+  @inline def isAsciiMemory(base: AnyRef, offset: Long, len: Int): Boolean = {
+    import org.apache.spark.unsafe.Platform
+    var i = 0
+    var acc = 0
+    while (i < len) { acc |= Platform.getByte(base, offset + i); i += 1 }
+    acc >= 0
+  }
 }
 
 /** Self-contained xxHash64 (public algorithm, Yann Collet) over a string's
@@ -173,6 +195,65 @@ object XxHash64 {
     h ^= h >>> 29; h *= P3
     h ^= h >>> 32
     h
+  }
+
+  /** `hashBytes` over raw memory (e.g. a UTF8String's backing region) — no
+    * byte[] copy; bit-identical to `hashBytes` on the same bytes.
+    */
+  def hashMemory(base: AnyRef, offset: Long, len: Int, seed: Long): Long = {
+    import org.apache.spark.unsafe.Platform
+    @inline def rl(i: Int): Long =
+      (Platform.getByte(base, offset + i) & 0xffL) |
+        (Platform.getByte(base, offset + i + 1) & 0xffL) << 8 |
+        (Platform.getByte(base, offset + i + 2) & 0xffL) << 16 |
+        (Platform.getByte(base, offset + i + 3) & 0xffL) << 24 |
+        (Platform.getByte(base, offset + i + 4) & 0xffL) << 32 |
+        (Platform.getByte(base, offset + i + 5) & 0xffL) << 40 |
+        (Platform.getByte(base, offset + i + 6) & 0xffL) << 48 |
+        (Platform.getByte(base, offset + i + 7) & 0xffL) << 56
+    @inline def ri(i: Int): Int =
+      (Platform.getByte(base, offset + i) & 0xff) |
+        (Platform.getByte(base, offset + i + 1) & 0xff) << 8 |
+        (Platform.getByte(base, offset + i + 2) & 0xff) << 16 |
+        (Platform.getByte(base, offset + i + 3) & 0xff) << 24
+    var i = 0
+    var h: Long = 0L
+    if (len >= 32) {
+      var v1 = seed + P1 + P2
+      var v2 = seed + P2
+      var v3 = seed
+      var v4 = seed - P1
+      while (i + 32 <= len) {
+        v1 = round(v1, rl(i))
+        v2 = round(v2, rl(i + 8))
+        v3 = round(v3, rl(i + 16))
+        v4 = round(v4, rl(i + 24))
+        i += 32
+      }
+      h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      h = mergeRound(h, v1); h = mergeRound(h, v2)
+      h = mergeRound(h, v3); h = mergeRound(h, v4)
+    } else {
+      h = seed + P5
+    }
+    h += len
+    while (i + 8 <= len) {
+      h ^= round(0L, rl(i))
+      h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= len) {
+      h ^= (ri(i) & 0xffffffffL) * P1
+      h = java.lang.Long.rotateLeft(h, 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h ^= (Platform.getByte(base, offset + i) & 0xffL) * P5
+      h = java.lang.Long.rotateLeft(h, 11) * P1
+      i += 1
+    }
+    avalanche(h)
   }
 
   @inline private def readLong(d: Array[Byte], i: Int): Long =
