@@ -381,6 +381,34 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     },
+    // embedding-cosine near-dup dedup (the vector counterpart of
+    // q_minhash_near_dup): 50 deterministic near-duplicate vectors are
+    // planted (ids +10000, cos ≈ 0.97 to their source), recovered by the
+    // LSH bucket join + exact-cosine verification at τ = 0.9. The raw
+    // table's closest random pair sits at cos ≈ 0.5, so the verified pair
+    // set is exactly the planted set — which the oracle knows in closed
+    // form. No all-pairs pass anywhere.
+    "q_embed_near_dup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("embedding"))
+      val all = emb.unionByName(dups)
+      val banded = all.select(col("vec_id"),
+        explode(tfns.annBucketsParamUdf(col("embedding"), lit(8), lit(16))).as("bucket"))
+      val hot = banded.groupBy(col("bucket")).count().filter(col("count") > LshBucketCap)
+        .select(col("bucket"))
+      val capped = banded.join(broadcast(hot), Seq("bucket"), "left_anti")
+      val candIds = capped.as("a").join(capped.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+      candIds
+        .join(all.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+        .join(all.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+        .filter(tfns.cosineUdf(col("ea"), col("eb")) >= 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
     // multimodal: binary blobs with typed headers, round-tripped through
     // the codec (encode UDF → binary column → parse UDF) and profiled per
     // kind; the oracle recomputes the same stats from the integer fields
@@ -614,6 +642,9 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_embed_near_dup" ->
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+        |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin,
     "q_media_profile" ->
       """WITH m AS (SELECT
         |    CASE CAST(vec_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
