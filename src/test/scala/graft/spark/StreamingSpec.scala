@@ -30,6 +30,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("flatMapGroupsWithState sessionization: event-time timeout closes sessions") {
+    import graft.streaming.TranscriptStream
+    import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    val stream = MemoryStream[TurnEvent]
+    val sessions = TranscriptStream.sessionize(stream.toDS(), gapSeconds = 120)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // conv A: 3 turns within the gap; conv B: 1 turn. Then advance the
+    // watermark far past A/B's last event to force both timeouts.
+    stream.addData(
+      TurnEvent("A", "user", 10.0, ts(0)),
+      TurnEvent("A", "assistant", 30.0, ts(1)),
+      TurnEvent("B", "user", 50.0, ts(1)))
+    q.processAllAvailable()
+    stream.addData(TurnEvent("A", "user", 20.0, ts(2)))
+    q.processAllAvailable()
+    stream.addData(TurnEvent("C", "user", 5.0, ts(60))) // pushes watermark
+    q.processAllAvailable()
+    stream.addData(TurnEvent("D", "user", 5.0, ts(120))) // ensure eviction batch
+    q.processAllAvailable()
+    q.stop()
+
+    val out = sp.sql("SELECT * FROM sessions").as[SessionSummary].collect()
+      .map(s => s.conv_id -> s).toMap
+    assert(out.contains("A") && out.contains("B"), s"got ${out.keySet}")
+    val a = out("A")
+    assert(a.turns == 3 && a.duration_ms == 120000L)
+    assert(a.len_p50 == 20.0, s"median of {10,30,20} = 20, got ${a.len_p50}") // exact: KLL uncompacted
+    assert(a.len_max == 30.0)
+    val b = out("B")
+    assert(b.turns == 1 && b.duration_ms == 0L && b.len_p50 == 50.0)
+  }
+
+  test("watermarked windowed sketch aggregation finalizes per-window rows") {
+    import graft.streaming.TranscriptStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    val stream = MemoryStream[(String, String, Double, java.sql.Timestamp)]
+    val df = stream.toDF().toDF("conv_id", "role", "text_len", "ts")
+    val agg = TranscriptStream.windowedRoleSketches(df,
+      windowLen = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("windowed")
+      .outputMode("append").start()
+    stream.addData((0 until 40).map(i => (s"c$i", if (i % 2 == 0) "user" else "tool",
+      i.toDouble, ts(i % 10))): _*)
+    q.processAllAvailable()
+    stream.addData(("late", "user", 1.0, ts(60))) // watermark past window 1
+    q.processAllAvailable()
+    q.stop()
+    val rows = sp.sql("SELECT role, approx_convs, turns FROM windowed ORDER BY role").collect()
+    assert(rows.length == 2, s"one finalized window x 2 roles, got ${rows.length}")
+    assert(rows.map(_.getLong(2)).sum == 40)
+    assert(rows.forall(r => math.abs(r.getLong(1) - 20) <= 1)) // 20 distinct convs/role
+  }
+
   test("streaming groupBy + sketch UDAFs == batch result after all batches") {
     val sp = spark
     import sp.implicits._
