@@ -119,9 +119,11 @@ object SketchJob {
     */
   def plannedInput(spark: SparkSession, cfg: Config): DataFrame = {
     val hasLen = scan(spark, cfg).columns.contains("text_len")
+    // conv_id/tool as UTF-8 bytes: stage 1 hashes them directly (ASCII FNV
+    // byte path, xxHash over bytes) instead of decoding a String per row
     val scanned = scan(spark, cfg)
-      .select(col("conv_id"), col("role"),
-        coalesce(col("tool"), lit("")).as("tool"),
+      .select(col("conv_id").cast("binary").as("conv_id"), col("role"),
+        coalesce(col("tool"), lit("")).cast("binary").as("tool"),
         (if (hasLen) col("text_len") else length(col("text")))
           .cast("double").as("text_len"))
     if (cfg.checkpointChunks > 0) scanned.coalesce(cfg.checkpointChunks) else scanned
@@ -135,7 +137,7 @@ object SketchJob {
       spark.sparkContext.hadoopConfiguration)
     val c = cfg
 
-    df.as[(String, String, String, Double)].mapPartitions { rows =>
+    df.as[(Array[Byte], String, Array[Byte], Double)].mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val fs = FileSystem.get(new java.net.URI(ckptDir), hadoopConf.value)
       val finalPath = new Path(ckptDir, f"part-$pid%05d.ckpt")
@@ -150,15 +152,29 @@ object SketchJob {
           val kll = KllSketch(c.kllK)
           val bloom = BloomSketch(c.bloomWidth, c.bloomDepth)
           var rows = 0L
+          // tool byte-pattern → String intern cache (tiny Zipf domain)
+          val tools = new java.util.HashMap[java.lang.Long, String]()
+          def internTool(b: Array[Byte]): String = {
+            val k = java.lang.Long.valueOf(graft.sketch.core.XxHash64.hashBytes(b, 0x7007L))
+            var s = tools.get(k)
+            if (s == null) {
+              s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+              tools.put(k, s)
+            }
+            s
+          }
         }
         val groups = mutable.HashMap.empty[String, Group]
         rows.foreach { case (convId, role, tool, textLen) =>
           val g = groups.getOrElseUpdate(role, new Group)
-          g.hll.add(convId)
-          if (tool.nonEmpty) { g.cms.add(tool); g.topk.add(tool) }
+          g.hll.addUtf8(convId)
+          if (tool.nonEmpty) {
+            val t = g.internTool(tool)
+            g.cms.add(t); g.topk.add(t)
+          }
           g.td.add(textLen)
           g.kll.add(textLen)
-          g.bloom.add(convId)
+          g.bloom.addUtf8(convId)
           g.rows += 1
         }
         val wallMs = (System.nanoTime() - t0) / 1000000
