@@ -38,8 +38,11 @@ object SparkEntry {
   private val exactFns = SketchFunctions(SketchConfig(kllK = 32768, tdigestCentroids = 32768))
   // HLL at p=18: the sparse phase holds until 65536 entries, and sparse
   // linear counting over 2^25 buckets rounds to the exact cardinality while
-  // n^2/2^26 << 0.5 (true up to tens of thousands of distinct values) —
-  // used where a single global cardinality must match count(DISTINCT)
+  // n²/2^26 < 0.5, i.e. n ≲ 5.8k (realized error std ≈ n/√(2·2^25)) —
+  // true at the verify SFs (150/1.5k distinct users). The query gates the
+  // estimate with a 1% bound rather than exact equality so it stays
+  // deterministic at ANY scale factor (1% is >5σ even after a promote to
+  // dense p=18, std 0.2%).
   private val wideHllFns = SketchFunctions(SketchConfig(hllP = 18))
   private val tfns = TextSqlFunctions.default
 
@@ -139,14 +142,16 @@ object SparkEntry {
         .select(col("event_type"), fns.hllCardinality(col("sk")).as("d"))
         .orderBy("event_type")
     },
-    // global HLL cardinality, exact in the p=18 sparse linear-counting
-    // regime; emitted next to the engine-side exact count
+    // global HLL cardinality next to the engine-side exact count, gated
+    // within 1% (see wideHllFns note: exact equality would silently break
+    // past ~6k distinct; the 1% gate is deterministic at every SF)
     "q_hll_global_users_estimate" -> { (s, dir) =>
       t(s, dir, "events").agg(
         wideHllFns.hllLongAgg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("users_exact"))
-        .select(wideHllFns.hllCardinality(col("sk")).as("users_hll"),
-          col("users_exact"))
+        .select(col("users_exact"),
+          (abs(wideHllFns.hllCardinality(col("sk")) - col("users_exact"))
+            <= greatest(lit(1L), col("users_exact") / 100)).as("hll_within_1pct"))
     },
     // t-digest extremes + total weight, exact in singleton-centroid regime
     "q_tdigest_value_extrema" -> { (s, dir) =>
@@ -487,8 +492,7 @@ object SparkEntry {
     "q_hll_users_per_event_type" ->
       "SELECT event_type, count(DISTINCT user_id) AS d FROM events GROUP BY event_type ORDER BY event_type",
     "q_hll_global_users_estimate" ->
-      """SELECT count(DISTINCT user_id) AS users_hll,
-        |       count(DISTINCT user_id) AS users_exact
+      """SELECT count(DISTINCT user_id) AS users_exact, TRUE AS hll_within_1pct
         |FROM events""".stripMargin,
     "q_tdigest_value_extrema" ->
       """SELECT event_type, round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,

@@ -152,24 +152,14 @@ object SketchJob {
           val kll = KllSketch(c.kllK)
           val bloom = BloomSketch(c.bloomWidth, c.bloomDepth)
           var rows = 0L
-          // tool byte-pattern → String intern cache (tiny Zipf domain)
-          val tools = new java.util.HashMap[java.lang.Long, String]()
-          def internTool(b: Array[Byte]): String = {
-            val k = java.lang.Long.valueOf(graft.sketch.core.XxHash64.hashBytes(b, 0x7007L))
-            var s = tools.get(k)
-            if (s == null) {
-              s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
-              tools.put(k, s)
-            }
-            s
-          }
+          val tools = new graft.sketch.agg.ToolInterner
         }
         val groups = mutable.HashMap.empty[String, Group]
         rows.foreach { case (convId, role, tool, textLen) =>
           val g = groups.getOrElseUpdate(role, new Group)
           g.hll.addUtf8(convId)
           if (tool.nonEmpty) {
-            val t = g.internTool(tool)
+            val t = g.tools.intern(tool)
             g.cms.add(t); g.topk.add(t)
           }
           g.td.add(textLen)
@@ -255,7 +245,11 @@ object SketchJob {
     * ids — which requires the same file list, the same split-sizing configs,
     * and the same planned partition count. Any drift invalidates.
     */
-  private def manifest(spark: SparkSession, cfg: Config): String = {
+  /** Manifest text plus the planned partition count it embeds (the count
+    * is returned as a value — never re-parsed out of the string, so the
+    * completeness check below cannot silently fail open on format drift).
+    */
+  private def manifest(spark: SparkSession, cfg: Config): (String, Int) = {
     val files = scan(spark, cfg).inputFiles.sorted
     val h = files.foldLeft(17L)((acc, f) => acc * 31 + f.hashCode)
     val conf = spark.sessionState.conf
@@ -263,11 +257,9 @@ object SketchJob {
       s"openCost=${conf.filesOpenCostInBytes} " +
       s"defaultParallelism=${spark.sparkContext.defaultParallelism}"
     val parts = plannedInput(spark, cfg).rdd.getNumPartitions
-    s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo} " +
-      s"chunks=${cfg.checkpointChunks} parts=$parts $split"
+    (s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo} " +
+      s"chunks=${cfg.checkpointChunks} parts=$parts $split", parts)
   }
-
-  private val PartsRe = """.*\bparts=(\d+)\b.*""".r
 
   /** Require checkpoints 0..N-1 all present before merging — a missing file
     * (lost task, manual deletion) must fail loudly, not drop rows silently.
@@ -276,7 +268,9 @@ object SketchJob {
     val present = fs.listStatus(dir)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("part-") && n.endsWith(".ckpt") =>
-        n.stripPrefix("part-").stripSuffix(".ckpt").toInt
+        val id = n.stripPrefix("part-").stripSuffix(".ckpt")
+        require(id.nonEmpty && id.forall(_.isDigit), s"foreign file in checkpoint dir: $n")
+        id.toInt
       }.toSet
     val missing = (0 until expectedParts).filterNot(present.contains)
     require(missing.isEmpty,
@@ -293,7 +287,7 @@ object SketchJob {
     val dir = new Path(cfg.checkpointDir)
     fs.mkdirs(dir)
     val manifestPath = new Path(dir, "_manifest")
-    val m = manifest(spark, cfg)
+    val (m, plannedParts) = manifest(spark, cfg)
     if (fs.exists(manifestPath)) {
       val prev = {
         val in = fs.open(manifestPath)
@@ -310,10 +304,7 @@ object SketchJob {
 
     val t0 = System.nanoTime()
     buildPartitionSketches(spark, cfg)
-    m match {
-      case PartsRe(n) => verifyCheckpointsComplete(fs, dir, n.toInt)
-      case _          => ()
-    }
+    verifyCheckpointsComplete(fs, dir, plannedParts)
     val t1 = System.nanoTime()
     // one decode pass shared by the final merge and the lineage summary
     val parts = mergeCheckpoints(spark, cfg)

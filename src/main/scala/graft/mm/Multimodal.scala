@@ -16,12 +16,14 @@ case class MediaMeta(kind: String, width: Int, height: Int, channels: Int, bytes
 /** Multimodal-column plumbing: media as opaque BinaryType columns + typed
   * metadata, with decode / feature-extract / frame-sample operators.
   *
-  * The container has no image/audio codecs, so the PIXEL DECODE IS A
-  * DETERMINISTIC STUB (hash-derived features, clearly marked below) — but
-  * everything Spark-side is real and tested: the binary header format and
-  * its parser, UDF signatures, schemas (struct/array outputs), batching via
-  * mapPartitions, and the partition behavior of a decode pipeline. Swapping
-  * `stubPixels` for a real codec (ImageIO/JNI) changes no plan shape.
+  * Image payloads that carry a known codec signature (PNG/JPEG/GIF/BMP)
+  * decode for real through `javax.imageio`; payloads with no decodable
+  * codec in this container (synthetic blobs, audio, video) go through a
+  * clearly-marked DETERMINISTIC STUB instead. Everything Spark-side is real
+  * and tested either way: the binary header format and its parser, UDF
+  * signatures, schemas (struct/array outputs), and the partition behavior
+  * of a decode pipeline — a JNI audio/video codec would replace only
+  * `stubPixels`, changing no plan shape.
   */
 object Multimodal {
 
@@ -51,16 +53,38 @@ object Multimodal {
     MediaMeta(kind, w, h, c, bytes.length.toLong)
   }
 
+  /** True when the payload starts with a codec signature the JDK decodes
+    * (PNG, JPEG, GIF, BMP). Random/synthetic payloads collide with these
+    * 2-8 byte magics with negligible probability.
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean = {
+    if (p.length < 8) return false
+    (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+    (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) || // JPEG
+    (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') || // GIF
+    (p(0) == 'B' && p(1) == 'M') // BMP
+  }
+
   /** Real image decode for payloads the JDK's built-in codecs understand
     * (PNG/JPEG/GIF/BMP via javax.imageio): grayscale pixel means pooled into
-    * `dim` buckets. Payloads that aren't a decodable image fall back to the
-    * deterministic stub below, so synthetic blobs keep working.
+    * `dim` buckets. Payloads with no image signature use the deterministic
+    * stub; a payload that CLAIMS to be an image but fails to decode is a
+    * data error and fails loudly (silently emitting stub features for a
+    * corrupt image would poison downstream similarity/dedup).
     */
   private def decodePixels(payload: Array[Byte], dim: Int): Array[Float] = {
+    if (!looksLikeImage(payload)) return stubPixels(payload, dim)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Throwable => null }
-    if (img == null || img.getWidth == 0 || img.getHeight == 0) return stubPixels(payload, dim)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"payload has an image signature but failed to decode (${e.getMessage})", e)
+      }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) {
+      throw new IllegalArgumentException(
+        "payload has an image signature but ImageIO produced no image")
+    }
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](dim)
     val counts = new Array[Long](dim)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -48,6 +49,18 @@ case class TurnSketchNativeAgg(
 
   override def children: Seq[Expression] = Seq(conv, tool, len)
 
+  // reject wrong-typed arguments at analysis time, not as an executor-side
+  // ClassCastException mid-job (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so the check is spelled out)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(StringType, StringType, DoubleType)
+    val actual = children.map(_.dataType)
+    if (actual == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING, DOUBLE), got " +
+        actual.map(_.simpleString).mkString("(", ", ", ")"))
+  }
+
   override def nullable: Boolean = false
 
   override def dataType: DataType = TurnSketchNativeAgg.ResultType
@@ -63,9 +76,9 @@ case class TurnSketchNativeAgg(
       val u = c.asInstanceOf[UTF8String]
       b.hll.addUtf8Memory(u.getBaseObject, u.getBaseOffset, u.numBytes)
       if (b.bloom != null) {
-        if (Fnv1a.isAsciiMemory(u.getBaseObject, u.getBaseOffset, u.numBytes)) {
-          b.bloom.addFnv(Fnv1a.fnv1aAsciiMemory(u.getBaseObject, u.getBaseOffset, u.numBytes))
-        } else b.bloom.add(u.toString)
+        val h = Fnv1a.fnv1aUtf8MemoryOrSentinel(u.getBaseObject, u.getBaseOffset, u.numBytes)
+        if (h != Fnv1a.NonAscii) b.bloom.addFnv(h.toInt)
+        else b.bloom.add(u.toString)
       }
     }
     val t = tool.eval(input)

@@ -31,19 +31,13 @@ final class BloomSketch private (val width: Int, val depth: Int, val words: Arra
     * char[] decode + String alloc per row.
     */
   def addUtf8(v: Array[Byte]): Unit = {
-    if (Fnv1a.isAscii(v)) {
-      Fnv1a.locationsHash(Fnv1a.fnv1aAsciiBytes(v), depth, width, scratch)
-      var i = 0
-      while (i < depth) {
-        val l = scratch(i)
-        words(l >>> 5) |= 1 << (l % 32)
-        i += 1
-      }
-    } else add(new String(v, java.nio.charset.StandardCharsets.UTF_8))
+    val h = Fnv1a.fnv1aUtf8OrSentinel(v)
+    if (h != Fnv1a.NonAscii) addFnv(h.toInt)
+    else add(new String(v, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Add from a precomputed FNV-1a hash (callers that hash bytes/memory
-    * directly — see `Fnv1a.fnv1aAsciiBytes`/`fnv1aAsciiMemory`).
+    * directly — see `Fnv1a.fnv1aUtf8OrSentinel`/`fnv1aUtf8MemoryOrSentinel`).
     */
   def addFnv(a: Int): Unit = {
     Fnv1a.locationsHash(a, depth, width, scratch)

@@ -38,20 +38,39 @@ final class TurnSketches(
     * across a ~10^2 domain: ~1e-16). Transient — rebuilt empty after any
     * buffer serde.
     */
-  @transient private var toolCache: java.util.HashMap[java.lang.Long, String] = _
+  @transient private var toolCache: ToolInterner = _
+  private def interner: ToolInterner = {
+    if (toolCache == null) toolCache = new ToolInterner
+    toolCache
+  }
+  def internTool(b: Array[Byte]): String = interner.intern(b)
+  def internTool(u: org.apache.spark.unsafe.types.UTF8String): String = interner.intern(u)
+}
+
+/** Byte-pattern → String intern cache for tiny Zipf domains (tool names):
+  * each distinct pattern is decoded once, keyed by 64-bit content hash
+  * (collision odds across a ~10^2 domain: ~1e-16). Shared by the UDAF
+  * buffer, the native aggregate, and SketchJob's stage-1 groups so the
+  * seed/semantics cannot drift between paths.
+  */
+final class ToolInterner {
+  private val cache = new java.util.HashMap[java.lang.Long, String]()
   private def cached(k0: Long)(mk: => String): String = {
-    if (toolCache == null) toolCache = new java.util.HashMap[java.lang.Long, String]()
     val k = java.lang.Long.valueOf(k0)
-    var s = toolCache.get(k)
-    if (s == null) { s = mk; toolCache.put(k, s) }
+    var s = cache.get(k)
+    if (s == null) { s = mk; cache.put(k, s) }
     s
   }
-  def internTool(b: Array[Byte]): String =
-    cached(graft.sketch.core.XxHash64.hashBytes(b, 0x7007L))(
+  def intern(b: Array[Byte]): String =
+    cached(graft.sketch.core.XxHash64.hashBytes(b, ToolInterner.Seed))(
       new String(b, java.nio.charset.StandardCharsets.UTF_8))
-  def internTool(u: org.apache.spark.unsafe.types.UTF8String): String =
+  def intern(u: org.apache.spark.unsafe.types.UTF8String): String =
     cached(graft.sketch.core.XxHash64.hashMemory(
-      u.getBaseObject, u.getBaseOffset, u.numBytes, 0x7007L))(u.toString)
+      u.getBaseObject, u.getBaseOffset, u.numBytes, ToolInterner.Seed))(u.toString)
+}
+
+object ToolInterner {
+  private[agg] val Seed = 0x7007L
 }
 
 object TurnSketches {

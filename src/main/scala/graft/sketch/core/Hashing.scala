@@ -71,50 +71,47 @@ object Fnv1a {
     }
   }
 
-  /** FNV-1a over raw bytes interpreted as chars <= 0xFF. For ASCII input
-    * this equals `fnv1a(new String(b, UTF_8))` exactly (each char takes the
-    * single-byte branch of the UTF-16 loop); callers must route non-ASCII
-    * bytes through the String path instead. Returns the hash, or throws
-    * nothing — use `isAscii` to pick the path.
+  /** Sentinel returned by the fused UTF-8 FNV passes when the input
+    * contains a non-ASCII byte (callers then fall back to the UTF-16
+    * String path, whose hashing the reference defines).
     */
-  def fnv1aAsciiBytes(v: Array[Byte]): Int = {
+  val NonAscii: Long = Long.MinValue
+
+  /** Single fused pass over UTF-8 bytes: returns the FNV-1a hash (equal to
+    * `fnv1a(new String(v, UTF_8))` for ASCII, each char taking the
+    * single-byte branch of the UTF-16 loop) widened to Long, or
+    * [[NonAscii]] if any byte is outside ASCII — one byte scan, not an
+    * isAscii pass plus a hash pass.
+    */
+  def fnv1aUtf8OrSentinel(v: Array[Byte]): Long = {
     var a = 0x811c9dc5
+    var acc = 0
     var i = 0
     val n = v.length
     while (i < n) {
-      a = fnvMultiply(a ^ (v(i) & 0xff))
+      val b = v(i)
+      acc |= b
+      a = fnvMultiply(a ^ (b & 0xff))
       i += 1
     }
-    fnvMix(a)
+    if (acc < 0) NonAscii else fnvMix(a).toLong
   }
 
-  @inline def isAscii(v: Array[Byte]): Boolean = {
-    var i = 0
-    var acc = 0
-    while (i < v.length) { acc |= v(i); i += 1 }
-    acc >= 0
-  }
-
-  /** `fnv1aAsciiBytes` over raw memory (e.g. a UTF8String's backing region)
-    * — no byte[] copy. Same ASCII-only contract.
+  /** [[fnv1aUtf8OrSentinel]] over raw memory (e.g. a UTF8String's backing
+    * region) — no byte[] copy.
     */
-  def fnv1aAsciiMemory(base: AnyRef, offset: Long, len: Int): Int = {
+  def fnv1aUtf8MemoryOrSentinel(base: AnyRef, offset: Long, len: Int): Long = {
     import org.apache.spark.unsafe.Platform
     var a = 0x811c9dc5
+    var acc = 0
     var i = 0
     while (i < len) {
-      a = fnvMultiply(a ^ (Platform.getByte(base, offset + i) & 0xff))
+      val b = Platform.getByte(base, offset + i)
+      acc |= b
+      a = fnvMultiply(a ^ (b & 0xff))
       i += 1
     }
-    fnvMix(a)
-  }
-
-  @inline def isAsciiMemory(base: AnyRef, offset: Long, len: Int): Boolean = {
-    import org.apache.spark.unsafe.Platform
-    var i = 0
-    var acc = 0
-    while (i < len) { acc |= Platform.getByte(base, offset + i); i += 1 }
-    acc >= 0
+    if (acc < 0) NonAscii else fnvMix(a).toLong
   }
 }
 
