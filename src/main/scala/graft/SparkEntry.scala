@@ -399,8 +399,11 @@ object SparkEntry {
         .select((col("vec_id") + 10000).as("vec_id"),
           tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("embedding"))
       val all = emb.unionByName(dups)
+      // 12 bits keeps random 64-dim pairs (cos ≈ 0) out of shared buckets
+      // (~1 occupant/bucket/table at 5k vectors); 24 tables hold per-pair
+      // recall at 1 - 5e-7 for the cos ≈ 0.97 planted dups
       val banded = all.select(col("vec_id"),
-        explode(tfns.annBucketsParamUdf(col("embedding"), lit(8), lit(16))).as("bucket"))
+        explode(tfns.annBucketsParamUdf(col("embedding"), lit(12), lit(24))).as("bucket"))
       val hot = banded.groupBy(col("bucket")).count().filter(col("count") > LshBucketCap)
         .select(col("bucket"))
       val capped = banded.join(broadcast(hot), Seq("bucket"), "left_anti")
