@@ -329,8 +329,10 @@ object Bench {
            |because the sketch compute scales where the shared read path
            |cannot.
            |
-           |## Ladder (turns/s; flagship/udaf/scan-only best of 3 — all-6,
-           |## SketchJob and full-text are single timed runs, ±15% noise)
+           |## Ladder (turns/s)
+           |
+           |Flagship/udaf/scan-only columns are best of 3; all-6, SketchJob
+           |and full-text are single timed runs (±15% run-to-run noise).
            |
            || cores | flagship (native) | udaf variant | scan-only | all-6 legacy | SketchJob | full-text |
            || --- | --- | --- | --- | --- | --- | --- |
