@@ -36,6 +36,11 @@ object SparkEntry {
   // exact interpolation over order statistics); sized for per-group n up to
   // ~20k so the oracles stay exact through sf0.1
   private val exactFns = SketchFunctions(SketchConfig(kllK = 32768, tdigestCentroids = 32768))
+  // the latency digest aggregates ONE global group of ~N deltas (N ≈ all
+  // events), so its singleton regime needs nc > πN/2 at the largest verify
+  // scale (sf0.1: N ≈ 98.5k ⇒ nc = 2^18); a single ~8 MB buffer per
+  // partition at verify scale only — never a default
+  private val latencyFns = SketchFunctions(SketchConfig(tdigestCentroids = 262144))
   // HLL at p=18: the sparse phase holds until 65536 entries, and sparse
   // linear counting over 2^25 buckets rounds to the exact cardinality while
   // n²/2^26 < 0.5, i.e. n ≲ 5.8k (realized error std ≈ n/√(2·2^25)) —
@@ -210,11 +215,11 @@ object SparkEntry {
         .select(((unix_micros(col("ts").cast("timestamp"))
           - unix_micros(col("prev_ts").cast("timestamp")))
           .cast("double") / 1000000.0).as("delta_s"))
-      deltas.agg(exactFns.tdigestAgg(col("delta_s")).as("sk"))
+      deltas.agg(latencyFns.tdigestAgg(col("delta_s")).as("sk"))
         .select(
-          round(exactFns.tdigestQuantile(col("sk"), lit(0.5)), 6).as("p50_s"),
-          round(exactFns.tdigestQuantile(col("sk"), lit(0.95)), 6).as("p95_s"),
-          exactFns.tdigestSize(col("sk")).as("n"))
+          round(latencyFns.tdigestQuantile(col("sk"), lit(0.5)), 6).as("p50_s"),
+          round(latencyFns.tdigestQuantile(col("sk"), lit(0.95)), 6).as("p95_s"),
+          latencyFns.tdigestSize(col("sk")).as("n"))
     },
     // NGram counting (ngram.js:19-40): exact by construction
     "q_ngram_gram_counts" -> { (s, dir) =>
