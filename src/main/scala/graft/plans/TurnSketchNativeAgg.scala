@@ -22,11 +22,18 @@ import graft.sketch.core.Fnv1a
   * `cast(x as binary)` byte copies, and the case-class allocation — nothing
   * is materialized between the scan and the sketch arrays.
   *
-  * Semantics are identical to `TurnSketchAgg` (same sketches, same hashes:
-  * xxHash64 over UTF-8 bytes for HLL, FNV-1a for Bloom with non-ASCII
-  * falling back to the UTF-16 String path, tool names interned per buffer
-  * for CMS/Space-Saving). Buffers serialize through the shared composite
-  * codec, so spill, shuffle and sort-based fallback all work.
+  * Per-operator semantics are identical to `TurnSketchAgg` (same sketches,
+  * same hashes: xxHash64 over UTF-8 bytes for HLL, FNV-1a for Bloom with
+  * non-ASCII falling back to the UTF-16 String path, tool names interned
+  * per buffer for CMS/Space-Saving). Buffers serialize through the shared
+  * composite codec, so spill, shuffle and sort-based fallback all work.
+  *
+  * DELIBERATE default difference: this flagship defaults `bloomW = 0`
+  * (conv-id Bloom OFF, `bloom_conv` empty) while `TurnSketchAgg` defaults it
+  * on. A mergeable membership filter must be capacity-sized to the group's
+  * distinct count via `Bloom.create(n, p)` — an undersized default saturates
+  * (FPR → 1, zero information) while 4×-ing the partial state every map task
+  * ships, so the throughput flagship makes the filter strictly opt-in.
   *
   * SQL: `SELECT role, turn_sketch_native(conv_id, tool, text_len) ...`
   * (register via [[GraftExtensions]] or [[TurnSketchNativeAgg.register]]).
@@ -147,7 +154,9 @@ object TurnSketchNativeAgg {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[TurnSketchNativeAgg].getName, null, FunctionName,
     "_FUNC_(conv_id, tool, len) - composite transcript sketch aggregate " +
-      "(HLL++ conv, CMS + top-k tool, t-digest + KLL len) over raw UTF8String memory.",
+      "(HLL++ conv, CMS + top-k tool, t-digest + KLL len) over raw UTF8String " +
+      "memory. conv-id Bloom is OFF unless registered with bloomW > 0 " +
+      "(capacity-size it via Bloom.create(n, p)).",
     "", "", "", "agg_funcs", "4.0.0", "", "built-in")
 
   def builder(cmsWidth: Int = CmsSketch.DefaultBins, cmsDepth: Int = CmsSketch.DefaultHash,

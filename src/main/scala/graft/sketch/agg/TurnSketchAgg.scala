@@ -48,29 +48,45 @@ final class TurnSketches(
 }
 
 /** Byte-pattern → String intern cache for tiny Zipf domains (tool names):
-  * each distinct pattern is decoded once, keyed by 64-bit content hash
-  * (collision odds across a ~10^2 domain: ~1e-16). Shared by the UDAF
-  * buffer, the native aggregate, and SketchJob's stage-1 groups so the
-  * seed/semantics cannot drift between paths.
+  * each distinct pattern is decoded once. Shared by the UDAF buffer, the
+  * native aggregate, and SketchJob's stage-1 groups so the seed/semantics
+  * cannot drift between paths.
+  *
+  * Correctness + memory hardening: hits are verified by length + a second
+  * independent 64-bit hash (a hash collision must never silently alias two
+  * tool names into one CMS/top-k key), and the cache is capped — past
+  * [[ToolInterner.MaxEntries]] distinct patterns (i.e. the column is not
+  * actually a tiny domain) new patterns are decoded directly instead of
+  * growing per-buffer memory without bound.
   */
 final class ToolInterner {
-  private val cache = new java.util.HashMap[java.lang.Long, String]()
-  private def cached(k0: Long)(mk: => String): String = {
+  private val cache = new java.util.HashMap[java.lang.Long, ToolInterner.Entry]()
+  private def cached(k0: Long, len: Int, check: Long)(mk: => String): String = {
     val k = java.lang.Long.valueOf(k0)
-    var s = cache.get(k)
-    if (s == null) { s = mk; cache.put(k, s) }
-    s
+    val e = cache.get(k)
+    if (e != null && e.len == len && e.check == check) e.s
+    else if (e != null || cache.size >= ToolInterner.MaxEntries) mk // collision or full
+    else { val s = mk; cache.put(k, new ToolInterner.Entry(s, len, check)); s }
   }
   def intern(b: Array[Byte]): String =
-    cached(graft.sketch.core.XxHash64.hashBytes(b, ToolInterner.Seed))(
+    cached(graft.sketch.core.XxHash64.hashBytes(b, ToolInterner.Seed), b.length,
+      graft.sketch.core.XxHash64.hashBytes(b, ToolInterner.Seed2))(
       new String(b, java.nio.charset.StandardCharsets.UTF_8))
   def intern(u: org.apache.spark.unsafe.types.UTF8String): String =
     cached(graft.sketch.core.XxHash64.hashMemory(
-      u.getBaseObject, u.getBaseOffset, u.numBytes, ToolInterner.Seed))(u.toString)
+        u.getBaseObject, u.getBaseOffset, u.numBytes, ToolInterner.Seed), u.numBytes,
+      graft.sketch.core.XxHash64.hashMemory(
+        u.getBaseObject, u.getBaseOffset, u.numBytes, ToolInterner.Seed2))(u.toString)
 }
 
 object ToolInterner {
   private[agg] val Seed = 0x7007L
+  private[agg] val Seed2 = 0x700c0ffeL
+  /** Beyond this many distinct patterns the column is not a tool-like tiny
+    * domain and caching would only burn memory (~100 KB at the cap).
+    */
+  private[agg] val MaxEntries = 1024
+  private[agg] final class Entry(val s: String, val len: Int, val check: Long)
 }
 
 object TurnSketches {

@@ -31,11 +31,15 @@ object TranscriptStream {
   /** One turn event on the stream (a projection of the input_hint schema). */
   case class TurnEvent(conv_id: String, role: String, text_len: Double, ts: Timestamp)
 
-  /** Accumulating per-conversation session state. */
+  /** Accumulating per-conversation session state. `maxLen` is tracked
+    * exactly (the KLL's retained maximum can sit below the true max after
+    * compaction, so a column named len_max must not read quantile(1.0)).
+    */
   case class SessionState(
       turns: Long,
       firstTsMs: Long,
       lastTsMs: Long,
+      maxLen: Double,
       kllLen: Array[Byte])
 
   /** Emitted when a session times out (no turns for `gapSeconds`). */
@@ -87,7 +91,7 @@ object TranscriptStream {
             state.remove()
             Iterator.single(SessionSummary(convId, s.turns,
               s.lastTsMs - s.firstTsMs,
-              kll.quantileLower(0.5), kll.quantileLower(1.0)))
+              kll.quantileLower(0.5), s.maxLen))
           } else {
             val prev = state.getOption
             val kll = prev.map(p => KllSketch.fromBytes(p.kllLen))
@@ -95,15 +99,25 @@ object TranscriptStream {
             var turnsN = prev.map(_.turns).getOrElse(0L)
             var first = prev.map(_.firstTsMs).getOrElse(Long.MaxValue)
             var last = prev.map(_.lastTsMs).getOrElse(Long.MinValue)
+            var maxLen = prev.map(_.maxLen).getOrElse(Double.NegativeInfinity)
             events.foreach { e =>
               kll.add(e.text_len)
               turnsN += 1
+              if (e.text_len > maxLen) maxLen = e.text_len
               val t = e.ts.getTime
               if (t < first) first = t
               if (t > last) last = t
             }
-            state.update(SessionState(turnsN, first, last, kll.toBytes))
-            state.setTimeoutTimestamp(last + gapSeconds * 1000)
+            state.update(SessionState(turnsN, first, last, maxLen, kll.toBytes))
+            // clamp to just past the watermark: setTimeoutTimestamp throws
+            // if the timeout is not later than the current watermark. Spark
+            // 4.1 filters rows behind the watermark before this function
+            // (FlatMapGroupsWithStateExec.watermarkPredicateForDataForLateEvents),
+            // so the clamp is defense-in-depth for engines/configs that do
+            // deliver late rows — a late event then closes the session at
+            // the watermark instead of crashing the query
+            state.setTimeoutTimestamp(
+              math.max(last + gapSeconds * 1000, state.getCurrentWatermarkMs + 1))
             Iterator.empty
           }
       }

@@ -69,6 +69,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.turns == 1 && b.duration_ms == 0L && b.len_p50 == 50.0)
   }
 
+  test("sessionize survives events far behind the watermark (no crash, row dropped)") {
+    import graft.streaming.TranscriptStream
+    import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    val stream = MemoryStream[TurnEvent]
+    val sessions = TranscriptStream.sessionize(stream.toDS(), gapSeconds = 120)
+    val q = sessions.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    // batch 1 pushes the watermark to ~ts(58); batch 2 then delivers an
+    // event 50 minutes BEHIND it (> 2x the gap). Spark 4.1's
+    // FlatMapGroupsWithStateExec filters rows behind the watermark before
+    // the state function (watermarkPredicateForDataForLateEvents), so the
+    // late event must be silently dropped; the timeout clamp in sessionize
+    // additionally guarantees no IllegalArgumentException from
+    // setTimeoutTimestamp on engines that do deliver late rows.
+    stream.addData(TurnEvent("FRESH", "user", 1.0, ts(60)))
+    q.processAllAvailable()
+    stream.addData(TurnEvent("LATE", "user", 7.0, ts(10)))
+    q.processAllAvailable()
+    stream.addData(TurnEvent("PUSH", "user", 1.0, ts(240))) // evict FRESH
+    q.processAllAvailable()
+    stream.addData(TurnEvent("PUSH2", "user", 1.0, ts(241)))
+    q.processAllAvailable()
+    q.stop()
+    val out = sp.sql("SELECT * FROM late_sessions").as[SessionSummary].collect()
+      .map(s => s.conv_id -> s).toMap
+    assert(out.contains("FRESH"), s"query must keep running past the late row, got ${out.keySet}")
+    assert(!out.contains("LATE"), "row behind the watermark is dropped, not sessionized")
+  }
+
   test("watermarked windowed sketch aggregation finalizes per-window rows") {
     import graft.streaming.TranscriptStream
     val sp = spark
