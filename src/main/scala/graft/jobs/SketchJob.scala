@@ -119,25 +119,29 @@ object SketchJob {
     */
   def plannedInput(spark: SparkSession, cfg: Config): DataFrame = {
     val hasLen = scan(spark, cfg).columns.contains("text_len")
-    // conv_id/tool as UTF-8 bytes: stage 1 hashes them directly (ASCII FNV
-    // byte path, xxHash over bytes) instead of decoding a String per row
     val scanned = scan(spark, cfg)
-      .select(col("conv_id").cast("binary").as("conv_id"), col("role"),
-        coalesce(col("tool"), lit("")).cast("binary").as("tool"),
+      .select(col("conv_id"), col("role"), coalesce(col("tool"), lit("")).as("tool"),
         (if (hasLen) col("text_len") else length(col("text")))
           .cast("double").as("text_len"))
     if (cfg.checkpointChunks > 0) scanned.coalesce(cfg.checkpointChunks) else scanned
   }
 
+  /** Stage 1 consumes `InternalRow`s straight off the physical plan
+    * (`queryExecution.toRdd`) and hashes each `UTF8String`'s backing memory
+    * in place — the same zero-materialization hot path as the native
+    * flagship aggregate. Nothing is allocated per row: no encoder tuple, no
+    * byte[] copies, no String decode (role and tool are interned through
+    * the shared [[graft.sketch.agg.ToolInterner]], which decodes each
+    * distinct pattern once per partition).
+    */
   def buildPartitionSketches(spark: SparkSession, cfg: Config): Unit = {
-    import spark.implicits._
     val df = plannedInput(spark, cfg)
     val ckptDir = cfg.checkpointDir
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val c = cfg
 
-    df.as[(Array[Byte], String, Array[Byte], Double)].mapPartitions { rows =>
+    df.queryExecution.toRdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val fs = FileSystem.get(new java.net.URI(ckptDir), hadoopConf.value)
       val finalPath = new Path(ckptDir, f"part-$pid%05d.ckpt")
@@ -155,16 +159,28 @@ object SketchJob {
           val tools = new graft.sketch.agg.ToolInterner
         }
         val groups = mutable.HashMap.empty[String, Group]
-        rows.foreach { case (convId, role, tool, textLen) =>
+        val roles = new graft.sketch.agg.ToolInterner // ~4 distinct values
+        rows.foreach { row =>
+          val role = roles.intern(row.getUTF8String(1))
           val g = groups.getOrElseUpdate(role, new Group)
-          g.hll.addUtf8(convId)
-          if (tool.nonEmpty) {
+          if (!row.isNullAt(0)) {
+            val conv = row.getUTF8String(0)
+            g.hll.addUtf8Memory(conv.getBaseObject, conv.getBaseOffset, conv.numBytes)
+            val h = graft.sketch.core.Fnv1a.fnv1aUtf8MemoryOrSentinel(
+              conv.getBaseObject, conv.getBaseOffset, conv.numBytes)
+            if (h != graft.sketch.core.Fnv1a.NonAscii) g.bloom.addFnv(h.toInt)
+            else g.bloom.add(conv.toString)
+          }
+          val tool = row.getUTF8String(2)
+          if (tool.numBytes > 0) {
             val t = g.tools.intern(tool)
             g.cms.add(t); g.topk.add(t)
           }
-          g.td.add(textLen)
-          g.kll.add(textLen)
-          g.bloom.addUtf8(convId)
+          if (!row.isNullAt(3)) {
+            val textLen = row.getDouble(3)
+            g.td.add(textLen)
+            g.kll.add(textLen)
+          }
           g.rows += 1
         }
         val wallMs = (System.nanoTime() - t0) / 1000000
@@ -256,7 +272,7 @@ object SketchJob {
     val split = s"maxPartitionBytes=${conf.filesMaxPartitionBytes} " +
       s"openCost=${conf.filesOpenCostInBytes} " +
       s"defaultParallelism=${spark.sparkContext.defaultParallelism}"
-    val parts = plannedInput(spark, cfg).rdd.getNumPartitions
+    val parts = plannedInput(spark, cfg).queryExecution.toRdd.getNumPartitions
     (s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo} " +
       s"chunks=${cfg.checkpointChunks} parts=$parts $split", parts)
   }
