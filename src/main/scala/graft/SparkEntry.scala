@@ -406,15 +406,20 @@ object SparkEntry {
       val all = emb.unionByName(dups)
       // 12 bits keeps random 64-dim pairs (cos ≈ 0) out of shared buckets
       // (~1 occupant/bucket/table at 5k vectors); 24 tables hold per-pair
-      // recall at 1 - 5e-7 for the cos ≈ 0.97 planted dups
+      // recall at 1 - 5e-7 for the cos ≈ 0.97 planted dups.
+      // ONE shuffle builds the buckets (groupBy + collect_list, capped):
+      // the signature UDF runs once per vector, degenerate buckets are
+      // dropped by the same size() predicate that caps the pair expansion,
+      // and candidate ids are deduped BEFORE embeddings re-attach — no
+      // hot-count pass, no bucket self-join, no subtree recomputation.
       val banded = all.select(col("vec_id"),
         explode(tfns.annBucketsParamUdf(col("embedding"), lit(12), lit(24))).as("bucket"))
-      val hot = banded.groupBy(col("bucket")).count().filter(col("count") > LshBucketCap)
-        .select(col("bucket"))
-      val capped = banded.join(broadcast(hot), Seq("bucket"), "left_anti")
-      val candIds = capped.as("a").join(capped.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).distinct()
+      val candIds = banded.groupBy(col("bucket"))
+        .agg(collect_list(col("vec_id")).as("ids"))
+        .filter(size(col("ids")).between(2, LshBucketCap))
+        .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .distinct()
       candIds
         .join(all.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
         .join(all.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")

@@ -146,6 +146,30 @@ object TextFunctions {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Candidate id pair out of an LSH bucket (id_a < id_b). */
+  case class IdPair(id_a: Long, id_b: Long)
+
+  /** All unordered id pairs within one (already capped) LSH bucket. The
+    * caller caps bucket size, so the worst case is cap·(cap−1)/2 pairs from
+    * one bucket — bounded by construction, never all-pairs over the table.
+    */
+  def idPairs(ids: Seq[Long]): Array[IdPair] = {
+    val a = ids.toArray
+    java.util.Arrays.sort(a)
+    val out = new Array[IdPair](a.length * (a.length - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) {
+        out(k) = IdPair(a(i), a(j)); k += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   // ---- MinHash UDAF: signature of all shingles in a group (mergeable) ----
   final class MinHashAgg(k: Int, shingle: Int)
       extends Aggregator[String, MinHashSketch, Array[Byte]] {
@@ -206,6 +230,9 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
     udf((v: Seq[Float], bits: Int, tables: Int) => VectorLsh.bucketKeys(v, bits, tables))
   val perturbUdf: UserDefinedFunction =
     udf((v: Seq[Float], id: Long, eps: Double) => VectorLsh.perturb(v, id, eps))
+
+  /** Expand one capped LSH bucket into its unordered candidate id pairs. */
+  val idPairsUdf: UserDefinedFunction = udf((ids: Seq[Long]) => idPairs(ids))
 
   def register(spark: SparkSession, prefix: String = ""): Unit = {
     def reg(name: String, f: UserDefinedFunction): Unit = spark.udf.register(prefix + name, f)
