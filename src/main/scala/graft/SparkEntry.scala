@@ -172,11 +172,14 @@ object SparkEntry {
           exactFns.tdigestSize(col("sk")).as("n"))
         .orderBy("event_type")
     },
-    // t-digest mid-quantiles + cdf boundary behavior. In the singleton
-    // regime quantile(q) is a fixed interpolation over order statistics
-    // (t-digest.js:212-235) which the DuckDB oracle replicates exactly;
+    // t-digest mid-quantiles + cdf at the boundaries AND at two interior
+    // probe values. In the singleton regime quantile(q)/cdf(v) are fixed
+    // interpolations over order statistics (t-digest.js:212-235, 239-265 —
+    // including cdf's back-shift when v falls below the left midpoint
+    // boundary) which the DuckDB oracle replicates branch-for-branch;
     // 6-decimal rounding absorbs the ~1-ulp noise of the digest's
-    // buffered-merge arithmetic.
+    // buffered-merge arithmetic. v=250 sits above some groups' max at
+    // sf0.001, so the v>max → 1.0 guard is on the executed path too.
     "q_tdigest_value_quantiles" -> { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -185,7 +188,9 @@ object SparkEntry {
           round(exactFns.tdigestQuantile(col("sk"), lit(0.5)), 6).as("p50"),
           round(exactFns.tdigestQuantile(col("sk"), lit(0.9)), 6).as("p90"),
           exactFns.tdigestCdf(col("sk"), lit(-1e18)).as("cdf_low"),
-          exactFns.tdigestCdf(col("sk"), lit(1e18)).as("cdf_high"))
+          exactFns.tdigestCdf(col("sk"), lit(1e18)).as("cdf_high"),
+          round(exactFns.tdigestCdf(col("sk"), lit(100.0)), 6).as("cdf_100"),
+          round(exactFns.tdigestCdf(col("sk"), lit(250.0)), 6).as("cdf_250"))
         .orderBy("event_type")
     },
     // KLL inverse-CDF quantiles, exact with zero compactions
@@ -391,6 +396,75 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     },
+    // SimHash near-dup recovery with planted ground truth, end to end:
+    // 64-bit token SimHash → 8×8-bit banding (pigeonhole: any pair with
+    // hamming ≤ 7 shares a band) → capped bucket pair expansion → id-pair
+    // dedup → codegen'd bit_count hamming gate ≤ 8. The corpus is the
+    // deterministic synthetic one (TextFunctions.synthDoc over doc_id):
+    // variant-1 docs (ids +20000, planted for doc_id < 40) differ from
+    // their source in 1 of 400 tokens (measured planted max hamming = 4 at
+    // every SF ⇒ banding recall is pigeonhole-GUARANTEED, not
+    // probabilistic), while docs of different ids share no tokens (hamming
+    // ~ Binom(64, ½); measured min 12 across 12.7M pairs at sf0.1) — so
+    // the recovered pair set is exactly the planted set, which the oracle
+    // knows in closed form. Real-text SimHash
+    // locality is covered by TextFunctionsSpec goldens; real-text J≥0.8
+    // recovery is q_minhash_near_dup's job (character-shingle Jaccard and
+    // token-set similarity diverge on this corpus, so SimHash candidates
+    // cannot be oracle-gated against a shingle-Jaccard truth).
+    "q_simhash_near_dup" -> { (s, dir) =>
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val originals = ids
+        .select(col("doc_id").as("id"), tfns.synthDocUdf(col("doc_id"), lit(0)).as("text"))
+      val dups = ids.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("id"), tfns.synthDocUdf(col("doc_id"), lit(1)).as("text"))
+      val sh = originals.unionByName(dups)
+        .select(col("id"), tfns.simhashUdf(col("text")).as("sh"))
+      // band keys from pure built-ins (codegen): byte b of the fingerprint,
+      // namespaced by band index
+      val bandKeys = array((0 until 8).map(b =>
+        shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(255L)) + lit(b * 256L)): _*)
+      val banded = sh.select(col("id"), explode(bandKeys).as("band"))
+      val candIds = banded.groupBy(col("band"))
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")).between(2, LshBucketCap))
+        .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .distinct()
+      candIds
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+        .filter(tfns.hammingCol(col("sha"), col("shb")) <= 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+    // capacity-sized construction path (Bloom.create(n, p) /
+    // CountMin.create(n, e, p), SURVEY.md §2.1): the realized width/depth
+    // are read back off the executed sketches and gated against the
+    // closed-form sizing formulas, which the oracle evaluates independently
+    // (including the reference's truncation and the CMS d=⌈ln 1000⌉=7
+    // default-depth quirk vs the plain constructor's 9). The sized CMS is
+    // collision-free on the brand domain, so its point query equals the
+    // exact count; the sized Bloom's linear-counting size estimate is gated
+    // within 2% = its design FPR regime.
+    "q_sized_sketches" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val sk = part.agg(
+        fns.bloomCreateAgg(2000, 0.02)(col("p_name")).as("bloom"),
+        fns.cmsCreateAgg(50000L, 25.0, 0.001)(col("p_brand")).as("cms"),
+        countDistinct(col("p_name")).as("names_exact"),
+        sum(when(col("p_brand") === "Brand#1", 1L).otherwise(0L)).as("brand1_exact"))
+      sk.select(
+        fns.bloomWidth(col("bloom")).cast("long").as("bloom_w"),
+        fns.bloomDepth(col("bloom")).cast("long").as("bloom_d"),
+        fns.cmsWidth(col("cms")).cast("long").as("cms_w"),
+        fns.cmsDepth(col("cms")).cast("long").as("cms_d"),
+        col("names_exact"),
+        (abs(fns.bloomSize(col("bloom")) - col("names_exact"))
+          <= greatest(lit(1.0), col("names_exact") * 0.02)).as("bloom_size_ok"),
+        fns.cmsQuery(col("cms"), lit("Brand#1")).as("cms_brand1"),
+        col("brand1_exact"))
+    },
     // embedding-cosine near-dup dedup (the vector counterpart of
     // q_minhash_near_dup): 50 deterministic near-duplicate vectors are
     // planted (ids +10000, cos ≈ 0.97 to their source), recovered by the
@@ -469,6 +543,32 @@ object SparkEntry {
   private def tdqFin(sfx: String): String =
     s"CASE WHEN n = 1 THEN vs[1] ELSE l$sfx + (r$sfx - l$sfx) * (qp$sfx - i$sfx) END"
 
+  /** DuckDB fragments replicating TDigestSketch.cdf over singleton centroids
+    * (t-digest.js:239-265) branch for branch: i = #values < v (bisect), l/r
+    * = midpoint boundaries (or min/max at the edges), back-shift one
+    * interval when v < l, then (i + interp(v, l, r)) / n with the v<min → 0
+    * and v>max → 1 guards. Four SELECT layers: ci → bounds → shift → fin.
+    */
+  private def cdfI(v: String, sfx: String): String =
+    s"len(list_filter(vs, x -> x < $v)) AS ci$sfx"
+  private def cdfBounds(v: String, sfx: String): String =
+    s"CASE WHEN ci$sfx > 0 THEN vs[CAST(ci$sfx AS INT)] + (vs[CAST(ci$sfx + 1 AS INT)] - " +
+      s"vs[CAST(ci$sfx AS INT)]) * (1.0e0 / 2.0e0) ELSE vs[1] END AS cl$sfx, " +
+      s"CASE WHEN ci$sfx < n - 1 THEN vs[CAST(ci$sfx + 1 AS INT)] + " +
+      s"(vs[CAST(ci$sfx + 2 AS INT)] - vs[CAST(ci$sfx + 1 AS INT)]) * (1.0e0 / 2.0e0) " +
+      s"ELSE vs[CAST(n AS INT)] END AS cr$sfx"
+  private def cdfShift(v: String, sfx: String): String =
+    s"CASE WHEN $v < cl$sfx THEN ci$sfx - 1 ELSE ci$sfx END AS ci2$sfx, " +
+      s"CASE WHEN $v < cl$sfx THEN (CASE WHEN ci$sfx - 1 <> 0 THEN " +
+      s"vs[CAST(ci$sfx - 1 AS INT)] + (vs[CAST(ci$sfx AS INT)] - " +
+      s"vs[CAST(ci$sfx - 1 AS INT)]) * (1.0e0 / 2.0e0) ELSE vs[1] END) " +
+      s"ELSE cl$sfx END AS cl2$sfx, " +
+      s"CASE WHEN $v < cl$sfx THEN cl$sfx ELSE cr$sfx END AS cr2$sfx"
+  private def cdfFin(v: String, sfx: String): String =
+    s"CASE WHEN $v < vs[1] THEN 0.0e0 WHEN $v > vs[CAST(n AS INT)] THEN 1.0e0 ELSE " +
+      s"(ci2$sfx + (CASE WHEN cr2$sfx - cl2$sfx > 1e-300 THEN " +
+      s"($v - cl2$sfx) / (cr2$sfx - cl2$sfx) ELSE 0.5e0 END)) / n END"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.
     */
@@ -514,16 +614,23 @@ object SparkEntry {
     "q_tdigest_value_quantiles" -> {
       """WITH g AS (SELECT event_type, list(value ORDER BY value) AS vs, count(*) AS n
         |           FROM events GROUP BY event_type),
-        |c AS (SELECT event_type, vs, n, MID50, MID90 FROM g),
-        |b AS (SELECT *, BND50, BND90 FROM c)
+        |c AS (SELECT event_type, vs, n, MID50, MID90, CDFI_A, CDFI_B FROM g),
+        |b AS (SELECT *, BND50, BND90, CDFB_A, CDFB_B FROM c),
+        |s AS (SELECT *, CDFS_A, CDFS_B FROM b)
         |SELECT event_type,
         |       round(FIN50, 6) AS p50,
         |       round(FIN90, 6) AS p90,
-        |       0.0e0 AS cdf_low, 1.0e0 AS cdf_high
-        |FROM b ORDER BY event_type""".stripMargin
+        |       0.0e0 AS cdf_low, 1.0e0 AS cdf_high,
+        |       round(CDFF_A, 6) AS cdf_100,
+        |       round(CDFF_B, 6) AS cdf_250
+        |FROM s ORDER BY event_type""".stripMargin
         .replace("MID50", tdqMid("0.5e0", "50")).replace("MID90", tdqMid("0.9e0", "90"))
         .replace("BND50", tdqBounds("50")).replace("BND90", tdqBounds("90"))
         .replace("FIN50", tdqFin("50")).replace("FIN90", tdqFin("90"))
+        .replace("CDFI_A", cdfI("100.0e0", "a")).replace("CDFI_B", cdfI("250.0e0", "b"))
+        .replace("CDFB_A", cdfBounds("100.0e0", "a")).replace("CDFB_B", cdfBounds("250.0e0", "b"))
+        .replace("CDFS_A", cdfShift("100.0e0", "a")).replace("CDFS_B", cdfShift("250.0e0", "b"))
+        .replace("CDFF_A", cdfFin("100.0e0", "a")).replace("CDFF_B", cdfFin("250.0e0", "b"))
     },
     "q_kll_value_quantiles" ->
       """SELECT event_type,
@@ -662,6 +769,21 @@ object SparkEntry {
     "q_embed_near_dup" ->
       """SELECT vec_id AS id_a, vec_id + 10000 AS id_b
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash_near_dup" ->
+      """SELECT doc_id AS id_a, doc_id + 20000 AS id_b
+        |FROM documents WHERE doc_id < 40 ORDER BY id_a, id_b""".stripMargin,
+    "q_sized_sketches" ->
+      """SELECT
+        |  CAST(ceil(CAST(trunc(-2000.0e0 * ln(0.02e0) / (ln(2.0e0)*ln(2.0e0))) AS BIGINT)
+        |       / 32.0e0) * 32 AS BIGINT) AS bloom_w,
+        |  CAST(trunc(((-2000.0e0 * ln(0.02e0) / (ln(2.0e0)*ln(2.0e0))) / 2000.0e0)
+        |       * ln(2.0e0)) AS BIGINT) AS bloom_d,
+        |  CAST(ceil(exp(1.0e0) / (25.0e0 / 50000.0e0)) AS BIGINT) AS cms_w,
+        |  CAST(ceil(-ln(0.001e0)) AS BIGINT) AS cms_d,
+        |  (SELECT count(DISTINCT p_name) FROM part) AS names_exact,
+        |  TRUE AS bloom_size_ok,
+        |  (SELECT count(*) FROM part WHERE p_brand = 'Brand#1') AS cms_brand1,
+        |  (SELECT count(*) FROM part WHERE p_brand = 'Brand#1') AS brand1_exact""".stripMargin,
     "q_media_profile" ->
       """WITH m AS (SELECT
         |    CASE CAST(vec_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -137,15 +137,23 @@ object BloomSketch {
     new BloomSketch(n * 32, d1, new Array[Int](n))
   }
 
-  /** Sizing from expected cardinality n and FPR p, with the reference's `~~`
-    * truncation (bloom.js:39-43); p ≳ 0.5 truncates depth to 0, which falls
-    * back to DefaultHash exactly as the reference's `||` does.
+  /** Closed-form (width, depth) for expected cardinality n and FPR p, with
+    * the reference's `~~` truncation (bloom.js:39-43). Width here is BEFORE
+    * the constructor's round-up to a multiple of 32; p ≳ 0.5 truncates depth
+    * to 0, which the constructor falls back to DefaultHash exactly as the
+    * reference's `||` does.
     */
-  def create(n: Int, p: Double): BloomSketch = {
+  def sizing(n: Int, p: Double): (Int, Int) = {
     val ln2 = math.log(2.0)
     val w = -n * math.log(p) / (ln2 * ln2)
     val d = (w / n) * ln2
-    apply(w.toInt, d.toInt)
+    (w.toInt, d.toInt)
+  }
+
+  /** Sizing from expected cardinality n and FPR p (bloom.js:35-44). */
+  def create(n: Int, p: Double): BloomSketch = {
+    val (w, d) = sizing(n, p)
+    apply(w, d)
   }
 
   def fromWords(words: Array[Int], d: Int): BloomSketch =

@@ -107,11 +107,17 @@ object CmsSketch {
     * from the plain-constructor default 9, as in the reference.
     */
   def create(n: Long, e: Double = 0.0, p: Double = 0.0): CmsSketch = {
+    val (w, d) = sizing(n, e, p)
+    apply(w, d)
+  }
+
+  /** Closed-form (width, depth) used by `create` (count-min.js:37-43). */
+  def sizing(n: Long, e: Double = 0.0, p: Double = 0.0): (Int, Int) = {
     val eps = if (n != 0) (if (e != 0) e / n else 1.0 / n) else 0.001
     val pp = if (p != 0) p else 0.001
     val w = math.ceil(math.E / eps).toInt
     val d = math.ceil(-math.log(pp)).toInt
-    apply(w, d)
+    (w, d)
   }
 
   def fromBytes(bytes: Array[Byte]): CmsSketch = {

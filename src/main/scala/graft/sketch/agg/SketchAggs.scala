@@ -40,6 +40,34 @@ object SketchAggs {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Capacity-sized Bloom: buffers constructed through `Bloom.create(n, p)`
+    * (bloom.js:35-44) — the sizing path a membership job must use instead of
+    * riding a fixed-width default (SURVEY.md §2.1).
+    */
+  final class BloomCreateAgg(n: Int, p: Double)
+      extends Aggregator[String, BloomSketch, Array[Byte]] {
+    def zero: BloomSketch = BloomSketch.create(n, p)
+    def reduce(b: BloomSketch, v: String): BloomSketch = { if (v != null) b.add(v); b }
+    def merge(a: BloomSketch, b: BloomSketch): BloomSketch = a.unionInPlace(b)
+    def finish(b: BloomSketch): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[BloomSketch] = Encoders.kryo[BloomSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Error-sized CMS: buffers constructed through `CountMin.create(n, e, p)`
+    * (count-min.js:37-43; note the d=⌈ln 1000⌉=7 default-depth quirk vs the
+    * plain constructor's 9).
+    */
+  final class CmsCreateAgg(n: Long, e: Double, p: Double)
+      extends Aggregator[String, CmsSketch, Array[Byte]] {
+    def zero: CmsSketch = CmsSketch.create(n, e, p)
+    def reduce(b: CmsSketch, v: String): CmsSketch = { if (v != null) b.add(v); b }
+    def merge(a: CmsSketch, b: CmsSketch): CmsSketch = a.mergeInPlace(b)
+    def finish(b: CmsSketch): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[CmsSketch] = Encoders.kryo[CmsSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   final class CmmAgg(w: Int, d: Int) extends Aggregator[String, CmmSketch, Array[Byte]] {
     def zero: CmmSketch = CmmSketch(w, d)
     def reduce(b: CmmSketch, v: String): CmmSketch = { if (v != null) b.add(v); b }

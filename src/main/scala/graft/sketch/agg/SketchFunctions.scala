@@ -46,6 +46,13 @@ class SketchFunctions(cfg: SketchConfig) extends Serializable {
   val hllAgg: UserDefinedFunction = udaf(new HllAgg(cfg.hllP))
   val hllLongAgg: UserDefinedFunction = udaf(new HllLongAgg(cfg.hllP))
 
+  // capacity-sized constructions (`create` factory path, SURVEY.md §2.1);
+  // parameterized per call site, so methods rather than cached handles
+  def bloomCreateAgg(n: Int, p: Double): UserDefinedFunction =
+    udaf(new BloomCreateAgg(n, p))
+  def cmsCreateAgg(n: Long, e: Double = 0.0, p: Double = 0.0): UserDefinedFunction =
+    udaf(new CmsCreateAgg(n, e, p))
+
   // ---- sketch-column merge UDAFs (second-level / tree merge) ----
   val bloomMergeAgg: UserDefinedFunction = udaf(new BloomMergeAgg)
   val cmsMergeAgg: UserDefinedFunction = udaf(new CmsMergeAgg)
@@ -72,6 +79,16 @@ class SketchFunctions(cfg: SketchConfig) extends Serializable {
     udf((a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) None
       else Some(BloomSketch.fromBytes(a).cover(BloomSketch.fromBytes(b))))
+
+  val bloomWidth: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(BloomSketch.fromBytes(sk).width))
+  val bloomDepth: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(BloomSketch.fromBytes(sk).depth))
+
+  val cmsWidth: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(CmsSketch.fromBytes(sk).width))
+  val cmsDepth: UserDefinedFunction =
+    udf((sk: Array[Byte]) => if (sk == null) None else Some(CmsSketch.fromBytes(sk).depth))
 
   val cmsQuery: UserDefinedFunction =
     udf((sk: Array[Byte], v: String) =>
@@ -165,6 +182,8 @@ class SketchFunctions(cfg: SketchConfig) extends Serializable {
     reg("kll_merge_agg", kllMergeAgg); reg("hll_merge_agg", hllMergeAgg)
     reg("bloom_contains", bloomContains); reg("bloom_size", bloomSize)
     reg("bloom_jaccard", bloomJaccard); reg("bloom_cover", bloomCover)
+    reg("bloom_width", bloomWidth); reg("bloom_depth", bloomDepth)
+    reg("cms_width", cmsWidth); reg("cms_depth", cmsDepth)
     reg("cms_query", cmsQuery); reg("cms_num", cmsNum); reg("cms_dot", cmsDot)
     reg("cmm_query", cmmQuery); reg("cmm_dot", cmmDot)
     reg("ngram_query", ngramQuery); reg("ngram_size", ngramSize)

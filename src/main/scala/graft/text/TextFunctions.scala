@@ -146,6 +146,29 @@ object TextFunctions {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Deterministic synthetic token document keyed by (srcId, variant) — the
+    * token-space analogue of [[VectorLsh.perturb]]: variants 0 and 1 share
+    * all tokens except the first [[SynthReplaced]], so (variant 0, variant 1)
+    * of the same srcId is a planted ground-truth near-duplicate pair (token
+    * Jaccard ≈ 1 − r/n ⇒ tiny SimHash Hamming distance), while documents of
+    * different srcIds share no tokens (Hamming ≈ Binom(64, ½), min ≳ 15 over
+    * millions of pairs). Lets LSH/SimHash recall be gated against a
+    * closed-form oracle on fixed test data.
+    */
+  val SynthTokens = 400
+  val SynthReplaced = 1
+  def synthDoc(srcId: Long, variant: Int): String = {
+    val sb = new java.lang.StringBuilder(SynthTokens * 18)
+    var j = 0
+    while (j < SynthTokens) {
+      val seed = if (variant != 0 && j < SynthReplaced) 0xa17e7ea7L else 0x70cea7L
+      sb.append(java.lang.Long.toHexString(XxHash64.hashLong(srcId * 1000003L + j, seed)))
+      if (j != SynthTokens - 1) sb.append(' ')
+      j += 1
+    }
+    sb.toString
+  }
+
   /** Candidate id pair out of an LSH bucket (id_a < id_b). */
   case class IdPair(id_a: Long, id_b: Long)
 
@@ -233,6 +256,10 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
 
   /** Expand one capped LSH bucket into its unordered candidate id pairs. */
   val idPairsUdf: UserDefinedFunction = udf((ids: Seq[Long]) => idPairs(ids))
+
+  /** Planted-near-duplicate synthetic document (see TextFunctions.synthDoc). */
+  val synthDocUdf: UserDefinedFunction =
+    udf((id: Long, variant: Int) => synthDoc(id, variant))
 
   def register(spark: SparkSession, prefix: String = ""): Unit = {
     def reg(name: String, f: UserDefinedFunction): Unit = spark.udf.register(prefix + name, f)

@@ -105,4 +105,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(TextFunctions.cosine(Seq(1f, 0f), Seq(0f, 1f)) === 0.0)
     assert(math.abs(TextFunctions.cosine(Seq(1f, 1f), Seq(1f, 0f)) - math.sqrt(0.5)) < 1e-12)
   }
+
+  test("idPairs enumerates each unordered pair once, sorted") {
+    val ps = TextFunctions.idPairs(Seq(5L, 1L, 9L))
+    assert(ps.toSet == Set(TextFunctions.IdPair(1, 5), TextFunctions.IdPair(1, 9),
+      TextFunctions.IdPair(5, 9)))
+    assert(TextFunctions.idPairs(Seq(7L)).isEmpty)
+    assert(TextFunctions.idPairs(Seq(1L, 2L, 3L, 4L)).length == 6)
+  }
+
+  test("synthDoc: deterministic, variants differ in exactly SynthReplaced tokens") {
+    val a1 = TextFunctions.synthDoc(42L, 0)
+    val a2 = TextFunctions.synthDoc(42L, 0)
+    assert(a1 == a2, "deterministic")
+    val b = TextFunctions.synthDoc(42L, 1)
+    val ta = a1.split(" "); val tb = b.split(" ")
+    assert(ta.length == TextFunctions.SynthTokens && tb.length == TextFunctions.SynthTokens)
+    assert(ta.zip(tb).count { case (x, y) => x != y } == TextFunctions.SynthReplaced)
+    // cross-id docs share no tokens; SimHash separates planted pairs from
+    // cross-id pairs with a wide margin (the q_simhash_near_dup invariant)
+    val c = TextFunctions.synthDoc(43L, 0)
+    assert(ta.toSet.intersect(c.split(" ").toSet).isEmpty)
+    val near = SimHash.hamming(SimHash.ofText(a1), SimHash.ofText(b))
+    val far = SimHash.hamming(SimHash.ofText(a1), SimHash.ofText(c))
+    assert(near <= 8, s"planted pair hamming $near")
+    assert(far >= 12, s"cross-id hamming $far")
+  }
 }
