@@ -4,13 +4,19 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.jobs.TranscriptGen
+import graft.sketch.BloomSketch
 
 /** Benchmark main (driver-run per round → BENCH_r{N}.json; also writes the
-  * bare JSON to /root/repo/bench_out.json and refreshes BENCH.md).
+  * bare JSON to SPARK_GRAFT_BENCH_OUT and refreshes SPARK_GRAFT_BENCH_MD).
   *
-  * Measurements:
+  * Measurements (every reported number is BEST OF 3 timed runs, with a
+  * System.gc() + pause before each so heap-pressure carryover between runs
+  * cannot masquerade as a regression; the native and udaf flagship variants
+  * are measured INTERLEAVED n,u,n,u,n,u so environmental drift within a
+  * session hits both equally):
   *  1. per-query wall times of the SparkEntry operator queries at local[32]
-  *     on SPARK_GRAFT_SF_DIR (the driver's contract);
+  *     on SPARK_GRAFT_SF_DIR, in a DEDICATED session that is stopped before
+  *     any throughput run (query plans/caches must not pollute the ladder);
   *  2. the north-rule metric: sketch-build throughput (turns/sec) of the
   *     flagship composite aggregation over the synthetic transcripts table
   *     at five parallelism levels (local[2..32]) — same job, same input,
@@ -19,15 +25,11 @@ import graft.jobs.TranscriptGen
   *     reader with a trivial consumer — the infrastructure ceiling any job
   *     on this box inherits (user code at zero);
   *  4. the SketchJob (checkpointed spark-submit deliverable) and a
-  *     full-text-scan variant at selected levels.
-  *
-  * The flagship composite runs HLL(conv) + CMS(tool) + top-k(tool) +
-  * t-digest(len) + KLL(len) with ids fed as UTF-8 bytes (no per-row String
-  * materialization). The conv-id Bloom is measured separately in the legacy
-  * all-6 variant: a fixed 8M-bit filter over 12M distinct convs is
-  * saturated (fill ≈ 1 ⇒ FPR ≈ 1 ⇒ zero information) while quadrupling the
-  * per-task partial state — membership filters must be capacity-sized via
-  * Bloom.create(n, p) in a dedicated job (12M convs @ 2% FPR ≈ 14 MB/group).
+  *     full-text-scan variant at selected levels;
+  *  5. a capacity-sized membership job: the all-6 composite with the
+  *     conv-id Bloom built via the Bloom.create(n, p) sizing (n = distinct
+  *     convs, p = 2%) instead of the saturating 8M-bit legacy default —
+  *     realized fill and measured FPR on absent probes are reported.
   */
 object Bench {
 
@@ -84,16 +86,18 @@ object Bench {
 
   /** The Aggregator/udaf() variant of the same build (binary-cast ids) —
     * kept as a reported comparison point; byte-identical sketch states.
+    * `bloomW > 0` adds the conv-id Bloom (legacy default or capacity-sized).
     */
   private def sketchBuild(spark: SparkSession, path: String,
-      fullText: Boolean = false, withBloom: Boolean = false): Long = {
+      fullText: Boolean = false, bloomW: Int = 0, bloomD: Int = 0)
+      : Array[org.apache.spark.sql.Row] = {
     // CMS sized to the tool domain (~50 keys): w=8192,d=5 keeps the error
     // bound microscopic while shrinking the per-task working set ~7x vs the
     // reference default (27191x9 Long) — at 10^12 rows you size sketches to
     // the domain, not to a 2015 JS default
     val agg = org.apache.spark.sql.functions.udaf(
       new graft.sketch.agg.TurnSketchAgg(cmsWidth = 8192, cmsDepth = 5,
-        bloomW = if (withBloom) graft.sketch.BloomSketch.DefaultBits else 0))
+        bloomW = bloomW, bloomD = if (bloomD > 0) bloomD else BloomSketch.DefaultHash))
     val lenCol =
       if (fullText) length(col("text")).cast("double") // forces the wide text read
       else col("text_len").cast("double") // pruned scan: text never read
@@ -108,8 +112,11 @@ object Bench {
     // benchmark a metadata-only count
     val rows = out.collect()
     require(rows.forall(_.getAs[Array[Byte]]("hll_conv").nonEmpty))
-    rows.map(_.getAs[Long]("turns")).sum
+    rows
   }
+
+  private def turnsOf(rows: Array[org.apache.spark.sql.Row]): Long =
+    rows.map(_.getAs[Long]("turns")).sum
 
   /** Scan-only reference: the same four columns through the vectorized
     * parquet reader into a trivial codegen'd consumer. This is the ceiling
@@ -124,7 +131,7 @@ object Bench {
       .collect()(0).getLong(0)
   }
 
-  /** The SketchJob path (mapPartitions full map-side combine + per-partition
+  /** The SketchJob path (InternalRow map-side full combine + per-partition
     * checkpoints) on a fresh checkpoint dir — the deliverable spark-submit
     * job's stage 1+2.
     */
@@ -148,8 +155,43 @@ object Bench {
     n
   }
 
+  /** Membership sanity of the capacity-sized per-role Bloom filters:
+    * realized size estimate vs exact distinct, plus measured FPR over
+    * `absentProbes` ids that were never ingested. Returns
+    * (maxRelSizeErr, maxFpr, widthBits, depth).
+    */
+  private def bloomMembershipStats(rows: Array[org.apache.spark.sql.Row],
+      spark: SparkSession, path: String, absentProbes: Int)
+      : (Double, Double, Int, Int) = {
+    val exact = spark.read.parquet(path).groupBy(col("role"))
+      .agg(countDistinct(col("conv_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var maxErr = 0.0
+    var maxFpr = 0.0
+    var w = 0; var d = 0
+    rows.foreach { r =>
+      val bloom = BloomSketch.fromBytes(r.getAs[Array[Byte]]("bloom_conv"))
+      w = bloom.width; d = bloom.depth
+      val role = r.getAs[String]("role")
+      val err = math.abs(bloom.size - exact(role)) / math.max(1L, exact(role))
+      if (err > maxErr) maxErr = err
+      var fp = 0
+      var i = 0
+      while (i < absentProbes) {
+        // ids outside the generator's conv-%08d space — never ingested
+        if (bloom.query(s"absent-${role.hashCode}-$i")) fp += 1
+        i += 1
+      }
+      val fpr = fp.toDouble / absentProbes
+      if (fpr > maxFpr) maxFpr = fpr
+    }
+    (maxErr, maxFpr, w, d)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outJsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    val outMdPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MD", "/root/repo/BENCH.md")
     val sf = sfDir.split("sf").last.toDoubleOption.getOrElse(0.1)
     // scaling table is sized so the measured job runs for >=10s at the
     // smallest parallelism (fixed ~0.3s scheduling overhead must not
@@ -164,54 +206,78 @@ object Bench {
     val thr = scala.collection.mutable.Map.empty[Int, Double]     // flagship (native)
     val thrUdaf = scala.collection.mutable.Map.empty[Int, Double] // Aggregator/udaf()
     val thrAll6 = scala.collection.mutable.Map.empty[Int, Double] // legacy all-6
+    val thrSized = scala.collection.mutable.Map.empty[Int, Double] // capacity-sized bloom
     val scanThr = scala.collection.mutable.Map.empty[Int, Double] // reader ceiling
     val jobThr = scala.collection.mutable.Map.empty[Int, Double]  // SketchJob
     val ftThr = scala.collection.mutable.Map.empty[Int, Double]   // full-text
+    var bloomStats = (0.0, 0.0, 0, 0)
+    val (sizedW, sizedD) = BloomSketch.sizing(benchConvs.toInt, 0.02)
 
+    // ---- per-query times: dedicated session, stopped before the ladder ----
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
+      val spark = session(32)
+      try {
+        // one untimed pass first: queries are timed at steady state
+        // (codegen + first-planning of the multi-stage plans costs 3-5s
+        // once per JVM and is not what the engine costs per query)
+        SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir).collect() }
+        queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val (_, sec) = timed(fn(spark, sfDir).collect())
+          name -> sec
+        }.toMap
+      } finally spark.stop()
+    }
+
+    // ---- throughput ladder: fresh session per level ----
     def measure(cores: Int, withJob: Boolean, withFullText: Boolean,
-        withQueries: Boolean, withAll6: Boolean): Unit = {
+        withAll6: Boolean, withSized: Boolean): Unit = {
       val spark = session(cores)
       try {
         graft.plans.TurnSketchNativeAgg.register(spark, cmsWidth = 8192, cmsDepth = 5)
         TranscriptGen.ensure(spark, benchPath, benchConvs, hotConvs = 8,
           hotTurns = 20000, parallelism = 64)
-        if (withQueries && !sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
-          // one untimed pass first: queries are timed at steady state
-          // (codegen + first-planning of the multi-stage plans costs 3-5s
-          // once per JVM and is not what the engine costs per query)
-          SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir).collect() }
-          queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-            val (_, sec) = timed(fn(spark, sfDir).collect())
-            name -> sec
-          }.toMap
-        }
-        // warmup (codegen + classloading), then best-of-3 measured runs
+        // warmup both paths (codegen + classloading), then interleave the
+        // timed runs so drift within the session hits both variants equally
         turns = sketchBuildNative(spark, benchPath)
-        thr(cores) = turns / best3(sketchBuildNative(spark, benchPath))
-        sketchBuild(spark, benchPath)
-        thrUdaf(cores) = turns / best3(sketchBuild(spark, benchPath))
+        turnsOf(sketchBuild(spark, benchPath))
+        val nTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val uTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+        (1 to 3).foreach { _ =>
+          nTimes += timed(sketchBuildNative(spark, benchPath))._2
+          uTimes += timed(sketchBuild(spark, benchPath))._2
+        }
+        thr(cores) = turns / nTimes.min
+        thrUdaf(cores) = turns / uTimes.min
         scanOnly(spark, benchPath)
         scanThr(cores) = turns / best3(scanOnly(spark, benchPath))
         if (withAll6) {
-          val (_, s) = timed(sketchBuild(spark, benchPath, withBloom = true))
-          thrAll6(cores) = turns / s
+          thrAll6(cores) = turns / best3(
+            sketchBuild(spark, benchPath, bloomW = BloomSketch.DefaultBits))
+        }
+        if (withSized) {
+          // keep the membership-stats pass (an extra exact-count scan +
+          // 40k probes) OUT of the timed region: stash the last run's rows
+          var lastRows: Array[org.apache.spark.sql.Row] = null
+          thrSized(cores) = turns / best3 {
+            lastRows = sketchBuild(spark, benchPath, bloomW = sizedW, bloomD = sizedD)
+            lastRows
+          }
+          bloomStats = bloomMembershipStats(lastRows, spark, benchPath, absentProbes = 10000)
         }
         if (withFullText) {
-          val (_, fsec) = timed(sketchBuild(spark, benchPath, fullText = true))
-          ftThr(cores) = turns / fsec
+          ftThr(cores) = turns / best3(sketchBuild(spark, benchPath, fullText = true))
         }
         if (withJob) {
-          val (_, jsec) = timed(sketchJob(spark, benchPath, cores.toString))
-          jobThr(cores) = turns / jsec
+          jobThr(cores) = turns / best3(sketchJob(spark, benchPath, cores.toString))
         }
       } finally spark.stop()
     }
 
-    measure(32, withJob = true, withFullText = true, withQueries = true, withAll6 = true)
-    measure(16, withJob = true, withFullText = false, withQueries = false, withAll6 = false)
-    measure(8, withJob = false, withFullText = true, withQueries = false, withAll6 = true)
-    measure(4, withJob = true, withFullText = false, withQueries = false, withAll6 = false)
-    measure(2, withJob = false, withFullText = false, withQueries = false, withAll6 = false)
+    measure(32, withJob = true, withFullText = true, withAll6 = true, withSized = true)
+    measure(16, withJob = true, withFullText = false, withAll6 = false, withSized = false)
+    measure(8, withJob = false, withFullText = true, withAll6 = true, withSized = false)
+    measure(4, withJob = true, withFullText = false, withAll6 = false, withSized = false)
+    measure(2, withJob = false, withFullText = false, withAll6 = false, withSized = false)
 
     def eff(lo: Int, hi: Int, m: scala.collection.Map[Int, Double]): Double =
       if (m.contains(lo) && m.contains(hi)) (m(hi) / m(lo)) / (hi.toDouble / lo) else 0.0
@@ -251,39 +317,58 @@ object Bench {
         .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,""" +
-        s""""sf":"$sfDir","bench_turns":$turns,""" +
+        s""""sf":"$sfDir","bench_turns":$turns,"best_of":3,""" +
         s""""sketch_build_turns_per_sec":${thrJson(thr)},""" +
         s""""sketch_build_udaf_turns_per_sec":${thrJson(thrUdaf)},""" +
         s""""scan_only_turns_per_sec":${thrJson(scanThr)},""" +
         s""""sketch_build_all6_turns_per_sec":${thrJson(thrAll6)},""" +
+        s""""sketch_build_bloom_sized_turns_per_sec":${thrJson(thrSized)},""" +
         s""""sketch_job_turns_per_sec":${thrJson(jobThr)},""" +
         s""""fulltext_turns_per_sec":${thrJson(ftThr)},""" +
+        s""""bloom_sized":{"width_bits":${bloomStats._3},"depth":${bloomStats._4},""" +
+        s""""max_rel_size_err":${fmt(bloomStats._1)},"max_fpr":${fmt(bloomStats._2)}},""" +
         s""""scaling_efficiency":{""" +
         s""""official_n_to_4n_2_to_8":${fmt(eff2to8)},""" +
-        s""""udaf_2_to_8":${fmt(eff2to8)},""" +
-        s""""udaf_4_to_16":${fmt(eff4to16)},""" +
-        s""""udaf_8_to_32":${fmt(eff8to32)},""" +
+        s""""flagship_2_to_8":${fmt(eff2to8)},""" +
+        s""""flagship_4_to_16":${fmt(eff4to16)},""" +
+        s""""flagship_8_to_32":${fmt(eff8to32)},""" +
         s""""scan_only_2_to_8":${fmt(scan2to8)},""" +
         s""""scan_only_4_to_16":${fmt(scan4to16)},""" +
         s""""scan_only_8_to_32":${fmt(scan8to32)},""" +
         s""""all6_8_to_32":${fmt(all6eff8to32)},""" +
-        s""""udaf_fitted_2_to_16":${fmt(fittedEff)},""" +
+        s""""flagship_fitted_2_to_16":${fmt(fittedEff)},""" +
         s""""job_4_to_16":${fmt(jobEff4to16)}}}"""
-    // machine-parseable copy FIRST (BENCH_r01.json had parsed:null because
-    // sbt wraps stdout in [info] prefixes)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // machine-parseable copy FIRST (the println below is also raw on stdout
+    // now that build.sbt sets run/outputStrategy := StdoutOutput)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outJsonPath), json + "\n")
+    catch { case e: java.io.IOException => System.err.println(s"bench_out write failed: $e") }
     println(json)
 
-    // refresh BENCH.md evidence file
+    // refresh the BENCH.md evidence file — every claim below is conditioned
+    // on the measured values of THIS run
     try {
       def cell(m: scala.collection.Map[Int, Double], c: Int): String =
         m.get(c).map(v => f"${v / 1e6}%.2fM").getOrElse("-")
       def row(c: Int): String =
         s"| local[$c] | ${cell(thr, c)} | ${cell(thrUdaf, c)} | ${cell(scanThr, c)} | " +
-          s"${cell(thrAll6, c)} | ${cell(jobThr, c)} | ${cell(ftThr, c)} |"
+          s"${cell(thrAll6, c)} | ${cell(thrSized, c)} | ${cell(jobThr, c)} | ${cell(ftThr, c)} |"
       val table = Seq(2, 4, 8, 16, 32).map(row).mkString("\n")
+      val saturatedPairs = Seq(
+        ("4 → 16", eff4to16, scan4to16), ("8 → 32", eff8to32, scan8to32))
+      val flagshipVsScan =
+        if (saturatedPairs.forall { case (_, f, s) => f >= s })
+          "In this run the flagship holds at or above the bare reader at every " +
+            "saturated pair — the sketch compute scales where the shared read " +
+            "path cannot."
+        else {
+          val worse = saturatedPairs.filter { case (_, f, s) => f < s }
+            .map { case (p, f, s) => s"$p (flagship ${fmt(f)} < scan ${fmt(s)})" }
+            .mkString(", ")
+          s"In this run the flagship falls below the bare reader at: $worse — " +
+            "past the DRAM knee, relative efficiency between two " +
+            "bandwidth-bound jobs is noise-dominated; the in-envelope pair " +
+            "above is the load-bearing number."
+        }
       val md =
         s"""# BENCH — measured on this machine (32 physical cores, 1 socket, 1 NUMA node, local mode)
            |
@@ -295,6 +380,10 @@ object Bench {
            |UTF8String memory in place — no per-row decode or allocation.
            |The Aggregator/udaf() variant (binary-cast ids) is reported
            |alongside; sketch states are byte-identical across both paths.
+           |
+           |**Every number is best of 3 timed runs** (GC-normalized between
+           |runs); the native/udaf pair is measured interleaved within each
+           |session so drift hits both equally.
            |
            |## Official scaling pair (N → 4N, same job, same input)
            |
@@ -325,18 +414,27 @@ object Bench {
            |total bandwidth demand stays inside the envelope — which holds
            |through 8 cores (scan 2→8 = ${fmt(scan2to8)}, flagship 2→8 =
            |${fmt(eff2to8)}). The saturated pairs are reported above, not
-           |hidden; the flagship beats the bare reader at every saturated pair
-           |because the sketch compute scales where the shared read path
-           |cannot.
+           |hidden. $flagshipVsScan
            |
-           |## Ladder (turns/s)
+           |## Ladder (turns/s, best of 3)
            |
-           |Flagship/udaf/scan-only columns are best of 3; all-6, SketchJob
-           |and full-text are single timed runs (±15% run-to-run noise).
-           |
-           || cores | flagship (native) | udaf variant | scan-only | all-6 legacy | SketchJob | full-text |
-           || --- | --- | --- | --- | --- | --- | --- |
+           || cores | flagship (native) | udaf variant | scan-only | all-6 legacy | bloom-sized | SketchJob | full-text |
+           || --- | --- | --- | --- | --- | --- | --- | --- |
            |TABLE_GOES_HERE
+           |
+           |## Capacity-sized membership job (bloom-sized column)
+           |
+           |Conv-id Bloom built via `Bloom.create(n = $benchConvs, p = 0.02)`:
+           |width ${bloomStats._3} bits (${f"${bloomStats._3 / 8.0 / 1024 / 1024}%.1f"} MB/group),
+           |depth ${bloomStats._4}. Realized per-role linear-counting size
+           |estimate within ${f"${bloomStats._1 * 100}%.2f"}% of the exact
+           |distinct count; measured FPR on 10k never-ingested probes
+           |≤ ${f"${bloomStats._2 * 100}%.2f"}% (design 2%). The legacy all-6
+           |column rides the fixed ${BloomSketch.DefaultBits / 1000000}M-bit
+           |default instead, which saturates once distinct ids approach the
+           |bit count (at $benchConvs convs: fill → 1, FPR → 1, zero
+           |information) — membership filters must be capacity-sized, which
+           |is why the flagship keeps the Bloom opt-in.
            |
            |## Config notes
            |
@@ -344,17 +442,18 @@ object Bench {
            |  (256 MB = 48 tasks) leave half the cores idle in the last wave,
            |  finer splits multiply per-task partial-state serde.
            |- CMS sized to the tool domain (8192×5); per-task partial state
-           |  ~0.4 MB/group. The legacy all-6 row carries a fixed 8M-bit conv
-           |  bloom, saturated at 12M distinct (FPR→1, zero information) while
-           |  4×-ing partial state — membership filters need Bloom.create(n,p)
-           |  capacity sizing (12M @ 2% ≈ 14 MB/group) in a dedicated job.
+           |  ~0.4 MB/group (+${f"${bloomStats._3 / 8.0 / 1024 / 1024}%.1f"} MB/group
+           |  in the bloom-sized membership job — the price of a 2%-FPR filter
+           |  over $benchConvs ids, paid only by jobs that need membership).
            |- Ids enter the UDAF as binary: ASCII bytes hash identically to the
            |  String path (FNV-1a/xxHash), so no char[] decode or String alloc
            |  per row; tool names (tiny domain) are interned per buffer.
+           |- SketchJob stage 1 reads InternalRows off the physical plan and
+           |  hashes UTF8String memory in place (zero per-row allocation).
            |
            |Per-query times (sf dir `$sfDir`): see BENCH_r{N}.json `queries`.
            |""".stripMargin.replace("TABLE_GOES_HERE", table)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH.md"), md)
-    } catch { case _: Throwable => () }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outMdPath), md)
+    } catch { case e: java.io.IOException => System.err.println(s"BENCH.md write failed: $e") }
   }
 }
