@@ -501,6 +501,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     },
+    // Structured Streaming on the driver-visible path: the events table
+    // read as a file stream (Trigger.AvailableNow), watermarked 1-day
+    // tumbling windows × event_type aggregating the sketch UDAFs, complete
+    // mode into a memory sink. Sketch merges are associative+commutative,
+    // so the final state is independent of micro-batch boundaries and must
+    // equal DuckDB's BATCH time-bucket aggregation — the stream==batch
+    // equivalence that makes these sketches legal streaming aggregates,
+    // proven here through the driver's own oracle gate (StreamingSpec
+    // covers the update-mode and sessionization variants in sbt).
+    "q_stream_windowed_sketches" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source wants a directory: stream the sf dir with a
+      // glob pinned to the events table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = stream
+        // the table stores TIMESTAMP_NTZ; watermarks require TIMESTAMP —
+        // the session is pinned to UTC, so this is a pure reinterpretation
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(fns.hllLongAgg(col("user_id")).as("hll"), count(lit(1)).as("n"))
+        .select(col("window.start").cast("date").as("day"), col("event_type"),
+          fns.hllCardinality(col("hll")).as("users"), col("n"))
+      val sink = "q_stream_windowed_out"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("day", "event_type")
+    },
     // multimodal: binary blobs with typed headers, round-tripped through
     // the codec (encode UDF → binary column → parse UDF) and profiled per
     // kind; the oracle recomputes the same stats from the integer fields
@@ -772,6 +804,10 @@ object SparkEntry {
     "q_simhash_near_dup" ->
       """SELECT doc_id AS id_a, doc_id + 20000 AS id_b
         |FROM documents WHERE doc_id < 40 ORDER BY id_a, id_b""".stripMargin,
+    "q_stream_windowed_sketches" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |       count(DISTINCT user_id) AS users, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_sized_sketches" ->
       """SELECT
         |  CAST(ceil(CAST(trunc(-2000.0e0 * ln(0.02e0) / (ln(2.0e0)*ln(2.0e0))) AS BIGINT)
