@@ -147,8 +147,11 @@ object Bench {
       }
     }
     rm(base)
+    // same domain-sized CMS as the flagship columns (8192×5) so the job and
+    // aggregate rows measure the same sketch work per row
     val cfg = SketchJob.Config(input = path, output = s"$base/out",
-      checkpointDir = s"$base/ckpt", checkpointChunks = 64)
+      checkpointDir = s"$base/ckpt", checkpointChunks = 64,
+      cmsWidth = 8192, cmsDepth = 5)
     val res = SketchJob.run(spark, cfg)
     val n = res.agg(sum(col("turns"))).collect()(0).getLong(0)
     rm(base)

@@ -134,8 +134,13 @@ object SketchJob {
     * the shared [[graft.sketch.agg.ToolInterner]], which decodes each
     * distinct pattern once per partition).
     */
-  def buildPartitionSketches(spark: SparkSession, cfg: Config): Unit = {
-    val df = plannedInput(spark, cfg)
+  def buildPartitionSketches(spark: SparkSession, cfg: Config): Unit =
+    buildPartitionSketches(spark, cfg, plannedInput(spark, cfg))
+
+  /** As above, over an already-planned input (so `run` plans the scan once
+    * for the manifest, the partition count and stage 1).
+    */
+  def buildPartitionSketches(spark: SparkSession, cfg: Config, df: DataFrame): Unit = {
     val ckptDir = cfg.checkpointDir
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -265,14 +270,14 @@ object SketchJob {
     * is returned as a value — never re-parsed out of the string, so the
     * completeness check below cannot silently fail open on format drift).
     */
-  private def manifest(spark: SparkSession, cfg: Config): (String, Int) = {
-    val files = scan(spark, cfg).inputFiles.sorted
+  private def manifest(spark: SparkSession, cfg: Config, planned: DataFrame): (String, Int) = {
+    val files = planned.inputFiles.sorted
     val h = files.foldLeft(17L)((acc, f) => acc * 31 + f.hashCode)
     val conf = spark.sessionState.conf
     val split = s"maxPartitionBytes=${conf.filesMaxPartitionBytes} " +
       s"openCost=${conf.filesOpenCostInBytes} " +
       s"defaultParallelism=${spark.sparkContext.defaultParallelism}"
-    val parts = plannedInput(spark, cfg).queryExecution.toRdd.getNumPartitions
+    val parts = planned.queryExecution.toRdd.getNumPartitions
     (s"files=${files.length} hash=$h from=${cfg.dateFrom} to=${cfg.dateTo} " +
       s"chunks=${cfg.checkpointChunks} parts=$parts $split", parts)
   }
@@ -303,7 +308,8 @@ object SketchJob {
     val dir = new Path(cfg.checkpointDir)
     fs.mkdirs(dir)
     val manifestPath = new Path(dir, "_manifest")
-    val (m, plannedParts) = manifest(spark, cfg)
+    val planned = plannedInput(spark, cfg)
+    val (m, plannedParts) = manifest(spark, cfg, planned)
     if (fs.exists(manifestPath)) {
       val prev = {
         val in = fs.open(manifestPath)
@@ -319,7 +325,7 @@ object SketchJob {
     }
 
     val t0 = System.nanoTime()
-    buildPartitionSketches(spark, cfg)
+    buildPartitionSketches(spark, cfg, planned)
     verifyCheckpointsComplete(fs, dir, plannedParts)
     val t1 = System.nanoTime()
     // one decode pass shared by the final merge and the lineage summary

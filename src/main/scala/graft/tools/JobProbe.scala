@@ -39,7 +39,8 @@ object JobProbe {
           rm()
           System.gc(); Thread.sleep(300)
           val cfg = SketchJob.Config(input = input, output = s"$base/out",
-            checkpointDir = s"$base/ckpt", checkpointChunks = 64)
+            checkpointDir = s"$base/ckpt", checkpointChunks = 64,
+            cmsWidth = 8192, cmsDepth = 5) // match Bench's job config
           val t0 = System.nanoTime()
           val res = SketchJob.run(spark, cfg)
           val n = res.agg(sum(col("turns"))).collect()(0).getLong(0)

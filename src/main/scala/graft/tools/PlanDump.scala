@@ -42,6 +42,10 @@ object PlanDump {
       graft.SparkEntry.queries("q_minhash_near_dup")(spark, sf))
     dump("q_ann_lsh_recall (broadcast probes, anti-join cap, max_by top-1)",
       graft.SparkEntry.queries("q_ann_lsh_recall")(spark, sf))
+    dump("q_embed_near_dup (single-shuffle capped bucket grouping, pair dedup before cosine verify)",
+      graft.SparkEntry.queries("q_embed_near_dup")(spark, sf))
+    dump("q_simhash_near_dup (simhash bands via built-ins, capped buckets, codegen bit_count gate)",
+      graft.SparkEntry.queries("q_simhash_near_dup")(spark, sf))
 
     val header = java.nio.file.Files.readString(
       java.nio.file.Paths.get("/root/repo/scripts/plans_header.md"))
