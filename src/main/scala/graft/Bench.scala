@@ -9,11 +9,12 @@ import graft.sketch.BloomSketch
 /** Benchmark main (driver-run per round → BENCH_r{N}.json; also writes the
   * bare JSON to SPARK_GRAFT_BENCH_OUT and refreshes SPARK_GRAFT_BENCH_MD).
   *
-  * Measurements (every reported number is BEST OF 3 timed runs, with a
-  * System.gc() + pause before each so heap-pressure carryover between runs
-  * cannot masquerade as a regression; the native and udaf flagship variants
-  * are measured INTERLEAVED n,u,n,u,n,u so environmental drift within a
-  * session hits both equally):
+  * Measurements (every THROUGHPUT column is the best of 3 timed runs, with
+  * a System.gc() + pause before each so heap-pressure carryover between
+  * runs cannot masquerade as a regression; the native and udaf flagship
+  * variants are measured INTERLEAVED n,u,n,u,n,u so environmental drift
+  * within a session hits both equally; per-query wall times are single
+  * steady-state runs after a full warmup pass):
   *  1. per-query wall times of the SparkEntry operator queries at local[32]
   *     on SPARK_GRAFT_SF_DIR, in a DEDICATED session that is stopped before
   *     any throughput run (query plans/caches must not pollute the ladder);
@@ -384,9 +385,10 @@ object Bench {
            |The Aggregator/udaf() variant (binary-cast ids) is reported
            |alongside; sketch states are byte-identical across both paths.
            |
-           |**Every number is best of 3 timed runs** (GC-normalized between
-           |runs); the native/udaf pair is measured interleaved within each
-           |session so drift hits both equally.
+           |**Every throughput column is best of 3 timed runs** (GC-normalized
+           |between runs); the native/udaf pair is measured interleaved within
+           |each session so drift hits both equally. Per-query times are single
+           |steady-state runs after a full warmup pass.
            |
            |## Official scaling pair (N → 4N, same job, same input)
            |
@@ -419,7 +421,7 @@ object Bench {
            |${fmt(eff2to8)}). The saturated pairs are reported above, not
            |hidden. $flagshipVsScan
            |
-           |## Ladder (turns/s, best of 3)
+           |## Ladder (turns/s, each cell best of 3)
            |
            || cores | flagship (native) | udaf variant | scan-only | all-6 legacy | bloom-sized | SketchJob | full-text |
            || --- | --- | --- | --- | --- | --- | --- | --- |

@@ -57,6 +57,13 @@ object SparkEntry {
   // power and are dropped. 1024^2 pairs is the worst single-bucket cost.
   private val LshBucketCap = 1024
 
+  /** Planted near-duplicate ids = source id + this offset — far beyond any
+    * real doc_id/vec_id at any scale factor, so planted ids can never
+    * collide with originals (a collision would both corrupt the pair
+    * universe and double-attach rows in the verify joins).
+    */
+  private val SynthDupOffset = 1000000000L
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -401,7 +408,9 @@ object SparkEntry {
     // hamming ≤ 7 shares a band) → capped bucket pair expansion → id-pair
     // dedup → codegen'd bit_count hamming gate ≤ 8. The corpus is the
     // deterministic synthetic one (TextFunctions.synthDoc over doc_id):
-    // variant-1 docs (ids +20000, planted for doc_id < 40) differ from
+    // variant-1 docs (ids offset by 10^9, far beyond any real doc_id, so
+    // planted ids can never collide with originals; planted for
+    // doc_id < 40) differ from
     // their source in 1 of 400 tokens (measured planted max hamming = 4 at
     // every SF ⇒ banding recall is pigeonhole-GUARANTEED, not
     // probabilistic), while docs of different ids share no tokens (hamming
@@ -417,7 +426,8 @@ object SparkEntry {
       val originals = ids
         .select(col("doc_id").as("id"), tfns.synthDocUdf(col("doc_id"), lit(0)).as("text"))
       val dups = ids.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 20000).as("id"), tfns.synthDocUdf(col("doc_id"), lit(1)).as("text"))
+        .select((col("doc_id") + SynthDupOffset).as("id"),
+          tfns.synthDocUdf(col("doc_id"), lit(1)).as("text"))
       val sh = originals.unionByName(dups)
         .select(col("id"), tfns.simhashUdf(col("text")).as("sh"))
       // band keys from pure built-ins (codegen): byte b of the fingerprint,
@@ -425,8 +435,10 @@ object SparkEntry {
       val bandKeys = array((0 until 8).map(b =>
         shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(255L)) + lit(b * 256L)): _*)
       val banded = sh.select(col("id"), explode(bandKeys).as("band"))
+      // cap enforced at ingest (CappedIdsAgg buffer never exceeds cap+1),
+      // so a degenerate hot band costs O(cap) memory, not the whole bucket
       val candIds = banded.groupBy(col("band"))
-        .agg(collect_list(col("id")).as("ids"))
+        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("id")).as("ids"))
         .filter(size(col("ids")).between(2, LshBucketCap))
         .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
         .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
@@ -467,7 +479,8 @@ object SparkEntry {
     },
     // embedding-cosine near-dup dedup (the vector counterpart of
     // q_minhash_near_dup): 50 deterministic near-duplicate vectors are
-    // planted (ids +10000, cos ≈ 0.97 to their source), recovered by the
+    // planted (ids offset by 10^9, collision-proof against any real
+    // vec_id; cos ≈ 0.97 to their source), recovered by the
     // LSH bucket join + exact-cosine verification at τ = 0.9. The raw
     // table's closest random pair sits at cos ≈ 0.5, so the verified pair
     // set is exactly the planted set — which the oracle knows in closed
@@ -475,7 +488,7 @@ object SparkEntry {
     "q_embed_near_dup" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dups = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 10000).as("vec_id"),
+        .select((col("vec_id") + SynthDupOffset).as("vec_id"),
           tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("embedding"))
       val all = emb.unionByName(dups)
       // 12 bits keeps random 64-dim pairs (cos ≈ 0) out of shared buckets
@@ -488,8 +501,10 @@ object SparkEntry {
       // hot-count pass, no bucket self-join, no subtree recomputation.
       val banded = all.select(col("vec_id"),
         explode(tfns.annBucketsParamUdf(col("embedding"), lit(12), lit(24))).as("bucket"))
+      // cap enforced at ingest (CappedIdsAgg buffer never exceeds cap+1),
+      // so a degenerate hot bucket costs O(cap) memory, not the whole bucket
       val candIds = banded.groupBy(col("bucket"))
-        .agg(collect_list(col("vec_id")).as("ids"))
+        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("vec_id")).as("ids"))
         .filter(size(col("ids")).between(2, LshBucketCap))
         .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
         .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
@@ -512,10 +527,15 @@ object SparkEntry {
     // covers the update-mode and sessionization variants in sbt).
     "q_stream_windowed_sketches" -> { (s, dir) =>
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file stream source wants a directory: stream the sf dir with a
-      // glob pinned to the events table
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // the file stream source wants a directory. If the events table IS a
+      // directory (part-files), stream it directly; if it is a single file,
+      // stream the parent with a glob pinned to it (pathGlobFilter matches
+      // LEAF file names, so it would match nothing against part-files).
+      val evPath = new java.io.File(s"$dir/events.parquet")
+      val stream =
+        if (evPath.isDirectory) s.readStream.schema(schema).parquet(evPath.getPath)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
       val agg = stream
         // the table stores TIMESTAMP_NTZ; watermarks require TIMESTAMP —
         // the session is pinned to UTC, so this is a pure reinterpretation
@@ -799,10 +819,10 @@ object SparkEntry {
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_embed_near_dup" ->
-      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+      s"""SELECT vec_id AS id_a, vec_id + $SynthDupOffset AS id_b
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin,
     "q_simhash_near_dup" ->
-      """SELECT doc_id AS id_a, doc_id + 20000 AS id_b
+      s"""SELECT doc_id AS id_a, doc_id + $SynthDupOffset AS id_b
         |FROM documents WHERE doc_id < 40 ORDER BY id_a, id_b""".stripMargin,
     "q_stream_windowed_sketches" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

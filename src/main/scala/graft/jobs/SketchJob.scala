@@ -166,7 +166,9 @@ object SketchJob {
         val groups = mutable.HashMap.empty[String, Group]
         val roles = new graft.sketch.agg.ToolInterner // ~4 distinct values
         rows.foreach { row =>
-          val role = roles.intern(row.getUTF8String(1))
+          // null role groups under "" (coalesce in plannedInput only guards
+          // tool; a null role must not NPE the resumable deliverable)
+          val role = if (row.isNullAt(1)) "" else roles.intern(row.getUTF8String(1))
           val g = groups.getOrElseUpdate(role, new Group)
           if (!row.isNullAt(0)) {
             val conv = row.getUTF8String(0)

@@ -52,41 +52,57 @@ final class TurnSketches(
   * native aggregate, and SketchJob's stage-1 groups so the seed/semantics
   * cannot drift between paths.
   *
-  * Correctness + memory hardening: hits are verified by length + a second
-  * independent 64-bit hash (a hash collision must never silently alias two
-  * tool names into one CMS/top-k key), and the cache is capped — past
-  * [[ToolInterner.MaxEntries]] distinct patterns (i.e. the column is not
-  * actually a tiny domain) new patterns are decoded directly instead of
-  * growing per-buffer memory without bound.
+  * Correctness + memory hardening: hits are verified by comparing the
+  * actual bytes against the cached pattern (a hash collision must never
+  * silently alias two tool names into one CMS/top-k key — and a byte
+  * compare of a ~4-15 byte key is cheaper than a second hash pass, with a
+  * deterministic rather than probabilistic guarantee), and the cache is
+  * capped — past [[ToolInterner.MaxEntries]] distinct patterns (i.e. the
+  * column is not actually a tiny domain) new patterns are decoded directly
+  * instead of growing per-buffer memory without bound.
   */
 final class ToolInterner {
-  private val cache = new java.util.HashMap[java.lang.Long, ToolInterner.Entry]()
-  private def cached(k0: Long, len: Int, check: Long)(mk: => String): String = {
-    val k = java.lang.Long.valueOf(k0)
+  import ToolInterner._
+  private val cache = new java.util.HashMap[java.lang.Long, Entry]()
+  def intern(b: Array[Byte]): String = {
+    val k = java.lang.Long.valueOf(graft.sketch.core.XxHash64.hashBytes(b, Seed))
     val e = cache.get(k)
-    if (e != null && e.len == len && e.check == check) e.s
-    else if (e != null || cache.size >= ToolInterner.MaxEntries) mk // collision or full
-    else { val s = mk; cache.put(k, new ToolInterner.Entry(s, len, check)); s }
+    if (e != null && java.util.Arrays.equals(e.bytes, b)) e.s
+    else if (e != null || cache.size >= MaxEntries) // collision or full: direct decode
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    else {
+      val bytes = b.clone()
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      cache.put(k, new Entry(s, bytes,
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)))
+      s
+    }
   }
-  def intern(b: Array[Byte]): String =
-    cached(graft.sketch.core.XxHash64.hashBytes(b, ToolInterner.Seed), b.length,
-      graft.sketch.core.XxHash64.hashBytes(b, ToolInterner.Seed2))(
-      new String(b, java.nio.charset.StandardCharsets.UTF_8))
-  def intern(u: org.apache.spark.unsafe.types.UTF8String): String =
-    cached(graft.sketch.core.XxHash64.hashMemory(
-        u.getBaseObject, u.getBaseOffset, u.numBytes, ToolInterner.Seed), u.numBytes,
-      graft.sketch.core.XxHash64.hashMemory(
-        u.getBaseObject, u.getBaseOffset, u.numBytes, ToolInterner.Seed2))(u.toString)
+  def intern(u: org.apache.spark.unsafe.types.UTF8String): String = {
+    val k = java.lang.Long.valueOf(graft.sketch.core.XxHash64.hashMemory(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, Seed))
+    val e = cache.get(k)
+    if (e != null && u.equals(e.u8)) e.s // UTF8String.equals = memory compare, no alloc
+    else if (e != null || cache.size >= MaxEntries) u.toString
+    else {
+      val bytes = u.getBytes // fresh copy
+      val s = u.toString
+      cache.put(k, new Entry(s, bytes,
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)))
+      s
+    }
+  }
 }
 
 object ToolInterner {
   private[agg] val Seed = 0x7007L
-  private[agg] val Seed2 = 0x700c0ffeL
   /** Beyond this many distinct patterns the column is not a tool-like tiny
     * domain and caching would only burn memory (~100 KB at the cap).
     */
   private[agg] val MaxEntries = 1024
-  private[agg] final class Entry(val s: String, val len: Int, val check: Long)
+  private[agg] final class Entry(
+      val s: String, val bytes: Array[Byte],
+      val u8: org.apache.spark.unsafe.types.UTF8String)
 }
 
 object TurnSketches {

@@ -175,22 +175,55 @@ object TextFunctions {
   /** All unordered id pairs within one (already capped) LSH bucket. The
     * caller caps bucket size, so the worst case is cap·(cap−1)/2 pairs from
     * one bucket — bounded by construction, never all-pairs over the table.
+    * Duplicate ids (possible only if the caller's id space collides) yield
+    * no self-pair.
     */
-  def idPairs(ids: Seq[Long]): Array[IdPair] = {
+  def idPairs(ids: Seq[Long]): Seq[IdPair] = {
     val a = ids.toArray
     java.util.Arrays.sort(a)
-    val out = new Array[IdPair](a.length * (a.length - 1) / 2)
-    var k = 0
+    val out = Vector.newBuilder[IdPair]
     var i = 0
     while (i < a.length) {
       var j = i + 1
       while (j < a.length) {
-        out(k) = IdPair(a(i), a(j)); k += 1
+        if (a(i) != a(j)) out += IdPair(a(i), a(j))
         j += 1
       }
       i += 1
     }
-    out
+    out.result()
+  }
+
+  /** Bucket occupant collection with the cap enforced at INGEST: the
+    * aggregation buffer never holds more than `cap + 1` ids, so a
+    * degenerate hot bucket (millions of rows under one band key —
+    * boilerplate/empty docs, near-zero vectors) costs O(cap) memory
+    * instead of materializing the whole bucket before a size filter.
+    * A result longer than `cap` means "overflowed — drop this bucket"
+    * (the extra element is the overflow marker, mirroring the semantics
+    * of the broadcast-anti-join cap used by the probe-vs-index pipelines).
+    */
+  final class CappedIdsAgg(cap: Int)
+      extends Aggregator[java.lang.Long, scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
+    def zero: scala.collection.mutable.ArrayBuffer[Long] =
+      new scala.collection.mutable.ArrayBuffer[Long](8)
+    def reduce(b: scala.collection.mutable.ArrayBuffer[Long], v: java.lang.Long)
+        : scala.collection.mutable.ArrayBuffer[Long] = {
+      if (v != null && b.length <= cap) b += v.longValue()
+      b
+    }
+    def merge(a: scala.collection.mutable.ArrayBuffer[Long],
+        b: scala.collection.mutable.ArrayBuffer[Long])
+        : scala.collection.mutable.ArrayBuffer[Long] = {
+      var i = 0
+      while (a.length <= cap && i < b.length) { a += b(i); i += 1 }
+      a
+    }
+    def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Long] = b.toArray
+    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
+      Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   // ---- MinHash UDAF: signature of all shingles in a group (mergeable) ----
@@ -256,6 +289,9 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
 
   /** Expand one capped LSH bucket into its unordered candidate id pairs. */
   val idPairsUdf: UserDefinedFunction = udf((ids: Seq[Long]) => idPairs(ids))
+
+  /** Ingest-capped bucket occupant collection (see TextFunctions.CappedIdsAgg). */
+  def cappedIdsAgg(cap: Int): UserDefinedFunction = udaf(new TextFunctions.CappedIdsAgg(cap))
 
   /** Planted-near-duplicate synthetic document (see TextFunctions.synthDoc). */
   val synthDocUdf: UserDefinedFunction =
