@@ -423,6 +423,28 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q5 > 0.3 && q5 <= 1.2, s"jaccard $q5")
   }
 
+  test("CappedIdsAgg bounds hot-bucket memory at ingest and marks overflow") {
+    val sp = spark
+    import sp.implicits._
+    val cap = 16
+    val agg = graft.text.TextSqlFunctions.default.cappedIdsAgg(cap)
+    // one degenerate band key carrying 5000 ids + one small legit bucket
+    val rows = (0 until 5000).map(i => ("hot", i.toLong)) ++
+      Seq(("ok", 1L), ("ok", 2L), ("ok", 3L))
+    val out = rows.toDF("band", "id")
+      .repartition(8) // force partial buffers + merge across partitions
+      .groupBy($"band").agg(agg($"id").as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("hot").length == cap + 1, "hot bucket truncated to cap+1 (overflow marker)")
+    assert(out("ok").sorted == Seq(1L, 2L, 3L))
+    // the query-side predicate drops exactly the overflowed bucket
+    val kept = rows.toDF("band", "id").repartition(8)
+      .groupBy($"band").agg(agg($"id").as("ids"))
+      .filter(size($"ids").between(2, cap))
+      .collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("ok"))
+  }
+
   test("second-level SQL re-aggregation of sketch columns (tree merge)") {
     val perDate = spark.sql(
       """SELECT ts_date, hll_agg(conv_id) AS hll FROM transcripts
