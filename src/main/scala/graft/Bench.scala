@@ -133,10 +133,18 @@ object Bench {
   }
 
   /** The SketchJob path (InternalRow map-side full combine + per-partition
-    * checkpoints) on a fresh checkpoint dir — the deliverable spark-submit
-    * job's stage 1+2.
+    * checkpoints) — the deliverable spark-submit job's stage 1+2, best of 3
+    * FULL runs with directory setup/teardown OUTSIDE the timed region (a
+    * recursive tmp-dir delete is bench scaffolding, not job work). Returns
+    * (bestEndToEndSec, bestStage1Sec): stage 1 (read from the job's own
+    * `_metrics.json` lineage sidecar) is the only part whose cost grows
+    * with the input — the end-to-end number also carries a fixed serial
+    * tail (checkpoint completeness check, 4-row result + sidecar writes)
+    * that a 100 TB run amortizes to nothing but a 10-second sandbox run
+    * does not, so both scalings are reported.
     */
-  private def sketchJob(spark: SparkSession, path: String, tag: String): Long = {
+  private def sketchJobBest3(spark: SparkSession, path: String, tag: String)
+      : (Double, Double) = {
     import graft.jobs.SketchJob
     val base = s"/root/repo/data/bench-job-$tag"
     def rm(p: String): Unit = {
@@ -147,16 +155,30 @@ object Bench {
           .forEach(f => f.toFile.delete())
       }
     }
-    rm(base)
     // same domain-sized CMS as the flagship columns (8192×5) so the job and
     // aggregate rows measure the same sketch work per row
     val cfg = SketchJob.Config(input = path, output = s"$base/out",
       checkpointDir = s"$base/ckpt", checkpointChunks = 64,
       cmsWidth = 8192, cmsDepth = 5)
-    val res = SketchJob.run(spark, cfg)
-    val n = res.agg(sum(col("turns"))).collect()(0).getLong(0)
+    var bestWall = Double.MaxValue
+    var bestS1 = Double.MaxValue
+    (1 to 3).foreach { _ =>
+      rm(base) // fresh run every iteration: no checkpoint resume shortcut
+      val (rows, sec) = timed {
+        // collect the FULL result rows (sketch bytes included) so nothing
+        // upstream of the final merge can be pruned out of the plan
+        SketchJob.run(spark, cfg).collect()
+      }
+      require(rows.map(_.getAs[Long]("turns")).sum > 0)
+      val metrics = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/out/_metrics.json")), "UTF-8")
+      val s1 = """"stage1_sec":([0-9.eE+-]+)""".r.findFirstMatchIn(metrics)
+        .map(_.group(1).toDouble).getOrElse(sec)
+      if (sec < bestWall) bestWall = sec
+      if (s1 < bestS1) bestS1 = s1
+    }
     rm(base)
-    n
+    (bestWall, bestS1)
   }
 
   /** Membership sanity of the capacity-sized per-role Bloom filters:
@@ -212,7 +234,8 @@ object Bench {
     val thrAll6 = scala.collection.mutable.Map.empty[Int, Double] // legacy all-6
     val thrSized = scala.collection.mutable.Map.empty[Int, Double] // capacity-sized bloom
     val scanThr = scala.collection.mutable.Map.empty[Int, Double] // reader ceiling
-    val jobThr = scala.collection.mutable.Map.empty[Int, Double]  // SketchJob
+    val jobThr = scala.collection.mutable.Map.empty[Int, Double]  // SketchJob end-to-end
+    val jobS1Thr = scala.collection.mutable.Map.empty[Int, Double] // SketchJob stage 1
     val ftThr = scala.collection.mutable.Map.empty[Int, Double]   // full-text
     var bloomStats = (0.0, 0.0, 0, 0)
     val (sizedW, sizedD) = BloomSketch.sizing(benchConvs.toInt, 0.02)
@@ -272,7 +295,9 @@ object Bench {
           ftThr(cores) = turns / best3(sketchBuild(spark, benchPath, fullText = true))
         }
         if (withJob) {
-          jobThr(cores) = turns / best3(sketchJob(spark, benchPath, cores.toString))
+          val (wall, s1) = sketchJobBest3(spark, benchPath, cores.toString)
+          jobThr(cores) = turns / wall
+          jobS1Thr(cores) = turns / s1
         }
       } finally spark.stop()
     }
@@ -298,6 +323,7 @@ object Bench {
     val scan4to16 = eff(4, 16, scanThr)
     val scan8to32 = eff(8, 32, scanThr)
     val jobEff4to16 = eff(4, 16, jobThr)
+    val jobS1Eff4to16 = eff(4, 16, jobS1Thr)
     val all6eff8to32 = eff(8, 32, thrAll6)
 
     // log-log fitted N→4N over the in-envelope levels as a noise-robust
@@ -328,6 +354,7 @@ object Bench {
         s""""sketch_build_all6_turns_per_sec":${thrJson(thrAll6)},""" +
         s""""sketch_build_bloom_sized_turns_per_sec":${thrJson(thrSized)},""" +
         s""""sketch_job_turns_per_sec":${thrJson(jobThr)},""" +
+        s""""sketch_job_stage1_turns_per_sec":${thrJson(jobS1Thr)},""" +
         s""""fulltext_turns_per_sec":${thrJson(ftThr)},""" +
         s""""bloom_sized":{"width_bits":${bloomStats._3},"depth":${bloomStats._4},""" +
         s""""max_rel_size_err":${fmt(bloomStats._1)},"max_fpr":${fmt(bloomStats._2)}},""" +
@@ -341,7 +368,8 @@ object Bench {
         s""""scan_only_8_to_32":${fmt(scan8to32)},""" +
         s""""all6_8_to_32":${fmt(all6eff8to32)},""" +
         s""""flagship_fitted_2_to_16":${fmt(fittedEff)},""" +
-        s""""job_4_to_16":${fmt(jobEff4to16)}}}"""
+        s""""job_4_to_16":${fmt(jobEff4to16)},""" +
+        s""""job_stage1_4_to_16":${fmt(jobS1Eff4to16)}}}"""
     // machine-parseable copy FIRST (the println below is also raw on stdout
     // now that build.sbt sets run/outputStrategy := StdoutOutput)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outJsonPath), json + "\n")
@@ -404,7 +432,13 @@ object Bench {
            || 8 → 32 | ${fmt(eff8to32)} | ${fmt(scan8to32)} |
            |
            |Fitted log-log exponent over levels 2..16 → N→4N = ${fmt(fittedEff)}.
-           |SketchJob (checkpointed deliverable) 4 → 16 = ${fmt(jobEff4to16)}.
+           |SketchJob (checkpointed deliverable) 4 → 16 = ${fmt(jobEff4to16)}
+           |end-to-end, ${fmt(jobS1Eff4to16)} for stage 1 alone (from the
+           |job's `_metrics.json` lineage sidecar). Stage 1 is the only part
+           |whose cost grows with the input; the gap is the job's fixed
+           |serial tail (checkpoint completeness check, 4-row result +
+           |sidecar writes) — ~2 s that a 10-second sandbox run cannot
+           |amortize but a 100 TB run does.
            |Legacy all-6 (saturated 8M-bit conv bloom) 8 → 32 = ${fmt(all6eff8to32)}.
            |
            |## Why 2 → 8 is the honest N→4N stand-in on one box

@@ -377,6 +377,56 @@ object SparkEntry {
           (sum(when(col("lsh_top1") === col("bf_top1"), 1).otherwise(0))
             >= count(lit(1)) * 0.9).as("recall_ok"))
     },
+    // ANN scale path #2: IVF coarse quantizer (the inverted-file layer of
+    // Jégou et al. 2011, without the PQ codes) next to the hyperplane-LSH
+    // path above. The codebook is 64 deterministic data-point pivots
+    // (lowest vec_ids) closed over by the assign/probe UDFs — O(K·dim)
+    // floats shipped to executors, the table itself never collected; at
+    // 100 TB the codebook would come from k-means over a driver-side
+    // sample, same plan shape. Each indexed vector lives in exactly ONE
+    // Voronoi cell, so unlike multi-table LSH a (query, neighbor) pair is
+    // generated at most once — no dedup shuffle before the exact-cosine
+    // rerank. A probe scans only its nprobe=8 nearest cells via a cluster
+    // equi-join (expected scan fraction nprobe/K = 1/8; prune_ok gates the
+    // realized candidate count at 2x that for cell-size skew). recall_ok
+    // gates top-1 agreement with the broadcast brute-force truth at >= 0.9
+    // over the same 200 perturbed probes as q_ann_lsh_recall.
+    "q_ann_ivf_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents: Array[Array[Float]] = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray)
+      val assignUdf = udf((v: Seq[Float]) => graft.text.VectorIvf.assign(v, cents))
+      val probeCellsUdf =
+        udf((v: Seq[Float]) => graft.text.VectorIvf.topClusters(v, cents, 8))
+      val probes = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("query_id"),
+          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe"))
+      val index = emb.select(col("vec_id").as("neighbor_id"),
+        assignUdf(col("embedding")).as("cluster"), col("embedding").as("ne"))
+      val probeCells = broadcast(probes.select(col("query_id"), col("qe"),
+        explode(probeCellsUdf(col("qe"))).as("cluster")))
+      val cands = probeCells.join(index, "cluster")
+        .select(col("query_id"), col("neighbor_id"),
+          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
+      def top1(df: DataFrame, as: String) =
+        df.groupBy(col("query_id"))
+          .agg(max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id"))).as(as))
+      val ivfTop = top1(cands, "ivf_top1")
+      val bf = top1(broadcast(probes)
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+        .select(col("query_id"), col("neighbor_id"),
+          tfns.cosineUdf(col("qe"), col("ne")).as("s")), "bf_top1")
+      bf.join(ivfTop, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(when(col("ivf_top1") === col("bf_top1"), 1).otherwise(0))
+            >= count(lit(1)) * 0.9).as("recall_ok"))
+        .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(emb.agg(count(lit(1)).as("n_vec")))
+        .select(col("n_queries"), col("recall_ok"),
+          (col("n_cand") <= col("n_queries") * col("n_vec") / lit(4)).as("prune_ok"))
+    },
     // MinHash-LSH near-dup pipeline, end to end: signatures → band keys →
     // capped bucket join → id-pair dedup → exact shingle-Jaccard
     // verification (the standard candidate-verify step) → pairs >= 0.8.
@@ -803,6 +853,9 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_ann_lsh_recall" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 200""".stripMargin,
+    "q_ann_ivf_recall" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok, TRUE AS prune_ok
         |FROM embeddings WHERE vec_id < 200""".stripMargin,
     "q_minhash_near_dup" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS g

@@ -96,4 +96,49 @@ class VectorLshSpec extends AnyFunSuite {
     }
     assert(hits >= 16, s"LSH recall@1 for planted near-dups: $hits/20")
   }
+
+  test("IVF: topClusters deterministic, ordered by cosine, assign = head") {
+    val cents = (0 until 64).map(i => randVec(5000 + i, 64)).toArray
+    val v = randVec(9001, 64).toSeq
+    val top = VectorIvf.topClusters(v, cents, 8)
+    assert(top.toSeq == VectorIvf.topClusters(v, cents, 8).toSeq)
+    assert(top.distinct.length == 8, "nprobe distinct cells")
+    val sims = top.map(c => cos(v.toArray, cents(c)))
+    assert(sims.toSeq == sims.sorted(Ordering[Double].reverse).toSeq, "best cell first")
+    assert(VectorIvf.assign(v, cents) == top(0))
+    // every untaken centroid is no better than the worst taken one
+    val worst = sims.last
+    (0 until 64).filterNot(top.contains).foreach { c =>
+      assert(cos(v.toArray, cents(c)) <= worst + 1e-12)
+    }
+    // nprobe > k clamps
+    assert(VectorIvf.topClusters(v, cents.take(3), 8).length == 3)
+  }
+
+  test("IVF recall: perturbed probe finds its source through nprobe=8 of 64 cells") {
+    // mirrors q_ann_ivf_recall: codebook = first 64 data vectors, index =
+    // every vector in its single nearest cell, probe scans 8 nearest cells
+    val n = 400
+    val base = (0 until n).map(i => randVec(i.toLong, 64)).toArray
+    val cents = base.take(64).map(_.clone())
+    val cells = scala.collection.mutable.HashMap.empty[Int, List[Int]]
+    base.zipWithIndex.foreach { case (v, id) =>
+      val c = VectorIvf.assign(v.toSeq, cents)
+      cells.update(c, id :: cells.getOrElse(c, Nil))
+    }
+    var hits = 0
+    var candTotal = 0
+    (0 until 50).foreach { q =>
+      val probe = VectorLsh.perturb(base(q).toSeq, q.toLong, 0.15)
+      val cand = VectorIvf.topClusters(probe.toSeq, cents, 8)
+        .flatMap(c => cells.getOrElse(c, Nil))
+      candTotal += cand.length
+      // brute-force truth over ALL vectors (source included, as in the query)
+      val globalBest = base.indices.maxBy(id => cos(probe, base(id)))
+      if (cand.nonEmpty && cand.maxBy(id => cos(probe, base(id))) == globalBest) hits += 1
+    }
+    assert(hits >= 45, s"IVF recall@1: $hits/50")
+    // the pruning actually prunes: nprobe/K = 1/8 expected, gate at 2x
+    assert(candTotal <= 50 * n / 4, s"candidates $candTotal vs bound ${50 * n / 4}")
+  }
 }
