@@ -401,6 +401,23 @@ object Bench {
             "bandwidth-bound jobs is noise-dominated; the in-envelope pair " +
             "above is the load-bearing number."
         }
+      // self-diagnosis: the scan-only 2→8 column is pure Spark parquet
+      // reading — zero user code — so when IT collapses, the box is being
+      // shared (host-level co-tenant contention is invisible inside this
+      // VM: load avg ~0, no local process, yet every column drops ~30%).
+      // Observed clean-box range across rounds: 0.79–0.93.
+      val contaminationNote =
+        if (scan2to8 > 0 && scan2to8 < 0.7)
+          s"""
+             |**WARNING — this run is environment-contaminated.** The
+             |scan-only 2 → 8 efficiency (${fmt(scan2to8)}) is far below the
+             |clean-box range (0.79–0.93 across rounds) with ZERO user code
+             |in that column, i.e. the machine was being throttled or shared
+             |at the host level during this run. Absolute numbers and
+             |saturated-pair ratios are unreliable; re-run on a quiet box
+             |(a prior clean run is in git history for comparison).
+             |""".stripMargin
+        else ""
       val md =
         s"""# BENCH — measured on this machine (32 physical cores, 1 socket, 1 NUMA node, local mode)
            |
@@ -423,6 +440,7 @@ object Bench {
            |**local[2] → local[8]: efficiency ${fmt(eff2to8)}** (target ≥ 0.8,
            |BASELINE.json north_rule). Throughput: ${fmt(thr.getOrElse(2, 0.0))} →
            |${fmt(thr.getOrElse(8, 0.0))} turns/s.
+           |$contaminationNote
            |
            |All pairs (flagship / scan-only reader ceiling):
            || pair | flagship | scan-only |

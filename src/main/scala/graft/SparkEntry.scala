@@ -410,19 +410,24 @@ object SparkEntry {
       val cands = probeCells.join(index, "cluster")
         .select(col("query_id"), col("neighbor_id"),
           tfns.cosineUdf(col("qe"), col("ne")).as("s"))
-      def top1(df: DataFrame, as: String) =
-        df.groupBy(col("query_id"))
-          .agg(max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id"))).as(as))
-      val ivfTop = top1(cands, "ivf_top1")
-      val bf = top1(broadcast(probes)
+      // ONE pass over the candidate stream: top-1 and the per-probe
+      // candidate count come out of the same partial-aggregatable groupBy
+      // (a separate count() subtree would re-run the assign UDF over the
+      // whole table — the round-2 embed-query mistake)
+      val perQuery = cands.groupBy(col("query_id"))
+        .agg(max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id"))).as("ivf_top1"),
+          count(lit(1)).as("nc"))
+      val bf = broadcast(probes)
         .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
         .select(col("query_id"), col("neighbor_id"),
-          tfns.cosineUdf(col("qe"), col("ne")).as("s")), "bf_top1")
-      bf.join(ivfTop, Seq("query_id"), "left")
+          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
+        .groupBy(col("query_id"))
+        .agg(max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id"))).as("bf_top1"))
+      bf.join(perQuery, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           (sum(when(col("ivf_top1") === col("bf_top1"), 1).otherwise(0))
-            >= count(lit(1)) * 0.9).as("recall_ok"))
-        .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+            >= count(lit(1)) * 0.9).as("recall_ok"),
+          sum(coalesce(col("nc"), lit(0L))).as("n_cand"))
         .crossJoin(emb.agg(count(lit(1)).as("n_vec")))
         .select(col("n_queries"), col("recall_ok"),
           (col("n_cand") <= col("n_queries") * col("n_vec") / lit(4)).as("prune_ok"))

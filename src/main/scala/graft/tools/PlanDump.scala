@@ -46,6 +46,8 @@ object PlanDump {
       graft.SparkEntry.queries("q_embed_near_dup")(spark, sf))
     dump("q_simhash_near_dup (simhash bands via built-ins, capped buckets, codegen bit_count gate)",
       graft.SparkEntry.queries("q_simhash_near_dup")(spark, sf))
+    dump("q_ann_ivf_recall (IVF: broadcast probe cells, single-cell index equi-join, no dedup needed)",
+      graft.SparkEntry.queries("q_ann_ivf_recall")(spark, sf))
 
     val header = java.nio.file.Files.readString(
       java.nio.file.Paths.get("/root/repo/scripts/plans_header.md"))
