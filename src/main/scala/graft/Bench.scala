@@ -405,13 +405,13 @@ object Bench {
       // reading — zero user code — so when IT collapses, the box is being
       // shared (host-level co-tenant contention is invisible inside this
       // VM: load avg ~0, no local process, yet every column drops ~30%).
-      // Observed clean-box range across rounds: 0.79–0.93.
+      // Observed clean-box range across rounds: 0.79–0.99.
       val contaminationNote =
-        if (scan2to8 > 0 && scan2to8 < 0.7)
+        if (scan2to8 > 0 && scan2to8 < 0.78)
           s"""
              |**WARNING — this run is environment-contaminated.** The
-             |scan-only 2 → 8 efficiency (${fmt(scan2to8)}) is far below the
-             |clean-box range (0.79–0.93 across rounds) with ZERO user code
+             |scan-only 2 → 8 efficiency (${fmt(scan2to8)}) is below the
+             |clean-box range (0.79–0.99 across rounds) with ZERO user code
              |in that column, i.e. the machine was being throttled or shared
              |at the host level during this run. Absolute numbers and
              |saturated-pair ratios are unreliable; re-run on a quiet box

@@ -608,6 +608,44 @@ object SparkEntry {
       q.awaitTermination()
       s.table(sink).orderBy("day", "event_type")
     },
+    // stateful streaming sessionization on the driver-visible path:
+    // flatMapGroupsWithState with event-time timeout + intra-batch
+    // gap-splitting (Trigger.AvailableNow lands the whole table in one
+    // micro-batch — the 100 TB backfill-replay case — so sessions are
+    // event-time islands computed inside the batch; only each user's LAST
+    // island waits for the watermark timeout). The emitted set is exactly
+    // closed-form: every non-final island per user, plus the final island
+    // iff its end + gap sits strictly below the final watermark
+    // (max event ms − gap) — which the DuckDB oracle replicates with a
+    // lag()-islands query and the same ms-floor arithmetic Spark uses.
+    // KLL per-session median is exact (≤ ~100 events/island, zero
+    // compactions at k=256) == quantile_disc.
+    "q_stream_sessions" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val evPath = new java.io.File(s"$dir/events.parquet")
+      val stream =
+        if (evPath.isDirectory) s.readStream.schema(schema).parquet(evPath.getPath)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      import s.implicits._
+      val turns = stream
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("user_id").cast("string").as("conv_id"), lit("e").as("role"),
+          col("value").cast("double").as("text_len"), col("ts"))
+        .as[graft.streaming.TranscriptStream.TurnEvent]
+      val sessions = graft.streaming.TranscriptStream.sessionize(turns, gapSeconds = 3600)
+      val sink = "q_stream_sessions_out"
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("conv_id").cast("long").as("user_id"),
+          col("turns").as("n_events"), col("first_ts_ms"), col("duration_ms"),
+          col("len_p50").as("value_p50"), col("len_max").as("value_max"))
+        .orderBy("user_id", "first_ts_ms")
+    },
     // multimodal: binary blobs with typed headers, round-tripped through
     // the codec (encode UDF → binary column → parse UDF) and profiled per
     // kind; the oracle recomputes the same stats from the integer fields
@@ -886,6 +924,32 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |       count(DISTINCT user_id) AS users, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // islands sessionization + the watermark-closure predicate: a user's
+    // non-final sessions always emit (closed intra-batch); the final one
+    // emits iff last_ms + gap < max_all_ms - gap (event-time timeout fires
+    // strictly below the eviction watermark). epoch_ms == Spark's
+    // micros/1000 floor.
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, value, ts, epoch_ms(ts) AS tms,
+        |         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts)) > 3600000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS grp FROM e),
+        |sess AS (
+        |  SELECT user_id, grp, count(*) AS n_events, min(tms) AS first_ts_ms,
+        |         max(tms) - min(tms) AS duration_ms,
+        |         quantile_disc(value, 0.5e0) AS value_p50,
+        |         max(value) AS value_max, max(tms) AS last_ms,
+        |         max(grp) OVER (PARTITION BY user_id) AS last_grp
+        |  FROM g GROUP BY user_id, grp),
+        |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
+        |SELECT user_id, n_events, first_ts_ms, duration_ms, value_p50, value_max
+        |FROM sess, wm
+        |WHERE grp <> last_grp OR last_ms + 3600000 < w
+        |ORDER BY user_id, first_ts_ms""".stripMargin,
     "q_sized_sketches" ->
       """SELECT
         |  CAST(ceil(CAST(trunc(-2000.0e0 * ln(0.02e0) / (ln(2.0e0)*ln(2.0e0))) AS BIGINT)

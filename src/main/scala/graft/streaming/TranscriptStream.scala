@@ -42,10 +42,14 @@ object TranscriptStream {
       maxLen: Double,
       kllLen: Array[Byte])
 
-  /** Emitted when a session times out (no turns for `gapSeconds`). */
+  /** Emitted when a session closes — by event-time timeout (watermark
+    * passed last + gap) or intra-batch (a later same-key event sits more
+    * than the gap past this session's end).
+    */
   case class SessionSummary(
       conv_id: String,
       turns: Long,
+      first_ts_ms: Long,
       duration_ms: Long,
       len_p50: Double,
       len_max: Double)
@@ -72,11 +76,27 @@ object TranscriptStream {
 
   private val kllK = 256
 
-  /** Per-conversation sessionization with event-time timeout. */
+  /** Per-conversation sessionization with event-time timeout AND
+    * intra-batch gap-splitting: one micro-batch can carry MANY sessions of
+    * the same key (the 100 TB backfill-replay case — Trigger.AvailableNow
+    * over a table lands everything in one batch), so this function sorts
+    * the key's batch slice by event time and closes a session whenever the
+    * next event sits more than `gapSeconds` past the current session's
+    * end. Only the final (still-open) session per key waits for the
+    * watermark-driven timeout. Memory bound = one key's events in one
+    * micro-batch (they are materialized to sort; at production batch sizes
+    * cap via maxFilesPerTrigger/maxBytesPerTrigger, which also restores
+    * incremental emission).
+    */
   def sessionize(turns: Dataset[TurnEvent], gapSeconds: Long): Dataset[SessionSummary] = {
     implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
     implicit val outEnc: Encoder[SessionSummary] = Encoders.product[SessionSummary]
     implicit val strEnc: Encoder[String] = Encoders.STRING
+    val gapMs = gapSeconds * 1000L
+
+    def summary(convId: String, s: SessionState, kll: KllSketch): SessionSummary =
+      SessionSummary(convId, s.turns, s.firstTsMs, s.lastTsMs - s.firstTsMs,
+        kll.quantileLower(0.5), s.maxLen)
 
     turns
       .withWatermark("ts", s"$gapSeconds seconds")
@@ -89,36 +109,44 @@ object TranscriptStream {
             val s = state.get
             val kll = KllSketch.fromBytes(s.kllLen)
             state.remove()
-            Iterator.single(SessionSummary(convId, s.turns,
-              s.lastTsMs - s.firstTsMs,
-              kll.quantileLower(0.5), s.maxLen))
+            Iterator.single(summary(convId, s, kll))
           } else {
-            val prev = state.getOption
-            val kll = prev.map(p => KllSketch.fromBytes(p.kllLen))
-              .getOrElse(KllSketch(kllK))
-            var turnsN = prev.map(_.turns).getOrElse(0L)
-            var first = prev.map(_.firstTsMs).getOrElse(Long.MaxValue)
-            var last = prev.map(_.lastTsMs).getOrElse(Long.MinValue)
-            var maxLen = prev.map(_.maxLen).getOrElse(Double.NegativeInfinity)
-            events.foreach { e =>
-              kll.add(e.text_len)
-              turnsN += 1
-              if (e.text_len > maxLen) maxLen = e.text_len
+            // event-time order within the batch slice; an event behind the
+            // open session's end but within the gap merges into it (late
+            // but inside the watermark — same semantics as cross-batch)
+            val evs = events.toArray
+            java.util.Arrays.sort(evs, Ordering.by((e: TurnEvent) => e.ts.getTime))
+            val out = List.newBuilder[SessionSummary]
+            var st: SessionState = state.getOption.orNull
+            var kll: KllSketch =
+              if (st != null) KllSketch.fromBytes(st.kllLen) else null
+            evs.foreach { e =>
               val t = e.ts.getTime
-              if (t < first) first = t
-              if (t > last) last = t
+              if (st != null && t - st.lastTsMs > gapMs) {
+                out += summary(convId, st, kll) // closed intra-batch
+                st = null
+              }
+              if (st == null) {
+                kll = KllSketch(kllK)
+                st = SessionState(0L, t, t, Double.NegativeInfinity, null)
+              }
+              kll.add(e.text_len)
+              st = SessionState(st.turns + 1, math.min(st.firstTsMs, t),
+                math.max(st.lastTsMs, t), math.max(st.maxLen, e.text_len), null)
             }
-            state.update(SessionState(turnsN, first, last, maxLen, kll.toBytes))
-            // clamp to just past the watermark: setTimeoutTimestamp throws
-            // if the timeout is not later than the current watermark. Spark
-            // 4.1 filters rows behind the watermark before this function
-            // (FlatMapGroupsWithStateExec.watermarkPredicateForDataForLateEvents),
-            // so the clamp is defense-in-depth for engines/configs that do
-            // deliver late rows — a late event then closes the session at
-            // the watermark instead of crashing the query
-            state.setTimeoutTimestamp(
-              math.max(last + gapSeconds * 1000, state.getCurrentWatermarkMs + 1))
-            Iterator.empty
+            if (st != null) {
+              state.update(st.copy(kllLen = kll.toBytes))
+              // clamp to just past the watermark: setTimeoutTimestamp throws
+              // if the timeout is not later than the current watermark. Spark
+              // 4.1 filters rows behind the watermark before this function
+              // (FlatMapGroupsWithStateExec.watermarkPredicateForDataForLateEvents),
+              // so the clamp is defense-in-depth for engines/configs that do
+              // deliver late rows — a late event then closes the session at
+              // the watermark instead of crashing the query
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsMs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
           }
       }
   }

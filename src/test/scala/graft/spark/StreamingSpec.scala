@@ -69,6 +69,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.turns == 1 && b.duration_ms == 0L && b.len_p50 == 50.0)
   }
 
+  test("sessionize splits gap-separated islands inside ONE micro-batch") {
+    import graft.streaming.TranscriptStream
+    import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    val stream = MemoryStream[TurnEvent]
+    val sessions = TranscriptStream.sessionize(stream.toDS(), gapSeconds = 120)
+    val q = sessions.writeStream.format("memory").queryName("batch_islands")
+      .outputMode("append").start()
+    // ONE batch, deliberately out of order: three islands for X
+    // (0-1, 10-11, 30) separated by >2min silences — the backfill-replay
+    // case where Trigger.AvailableNow lands a whole table in one batch
+    stream.addData(
+      TurnEvent("X", "user", 30.0, ts(10)),
+      TurnEvent("X", "user", 1.0, ts(0)),
+      TurnEvent("X", "user", 40.0, ts(11)),
+      TurnEvent("X", "user", 2.0, ts(1)),
+      TurnEvent("X", "user", 9.0, ts(30)))
+    q.processAllAvailable()
+    // islands 1 and 2 are closed by LATER X events in the same batch and
+    // emit immediately, before any watermark movement
+    val immediate = sp.sql("SELECT * FROM batch_islands").as[SessionSummary].collect()
+    assert(immediate.length == 2, s"two intra-batch-closed islands, got ${immediate.length}")
+    stream.addData(TurnEvent("PUSHX", "user", 1.0, ts(300))) // watermark past 30+gap
+    q.processAllAvailable()
+    stream.addData(TurnEvent("PUSHX2", "user", 1.0, ts(301))) // eviction batch
+    q.processAllAvailable()
+    q.stop()
+    val out = sp.sql("SELECT * FROM batch_islands WHERE conv_id = 'X'")
+      .as[SessionSummary].collect().sortBy(_.first_ts_ms)
+    assert(out.length == 3, s"three islands for X, got ${out.length}")
+    val Array(s1, s2, s3) = out
+    assert(s1.turns == 2 && s1.first_ts_ms == ts(0).getTime && s1.duration_ms == 60000L
+      && s1.len_p50 == 1.0 && s1.len_max == 2.0, s"island 1: $s1")
+    assert(s2.turns == 2 && s2.first_ts_ms == ts(10).getTime && s2.duration_ms == 60000L
+      && s2.len_p50 == 30.0 && s2.len_max == 40.0, s"island 2: $s2")
+    assert(s3.turns == 1 && s3.first_ts_ms == ts(30).getTime && s3.duration_ms == 0L
+      && s3.len_p50 == 9.0 && s3.len_max == 9.0, s"island 3: $s3")
+  }
+
   test("sessionize survives events far behind the watermark (no crash, row dropped)") {
     import graft.streaming.TranscriptStream
     import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
