@@ -67,6 +67,39 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** File-stream over the driver's events table. The file source wants a
+    * directory: if the table IS a directory (part-files), stream it
+    * directly; if it is a single file, stream the parent with a glob
+    * pinned to it (pathGlobFilter matches LEAF file names, so it would
+    * match nothing against part-files).
+    */
+  private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val evPath = new java.io.File(s"$dir/events.parquet")
+    if (evPath.isDirectory) s.readStream.schema(schema).parquet(evPath.getPath)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
+  /** Deterministic ANN top-1 read-out over a (query_id, neighbor_id, s)
+    * candidate frame: partial-aggregatable max_by (no per-group sort
+    * shuffle), ties broken to the LOWEST neighbor_id through the
+    * (s, -neighbor_id) struct order. Shared by every ANN gate so the LSH
+    * and IVF paths always compare against identical tie-break semantics.
+    */
+  private def top1Expr: Column =
+    max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id")))
+
+  private def top1(df: DataFrame, as: String): DataFrame =
+    df.groupBy(col("query_id")).agg(top1Expr.as(as))
+
+  /** Brute-force cosine truth: broadcast probes against the full table. */
+  private def bfTop1(probes: DataFrame, emb: DataFrame): DataFrame =
+    top1(broadcast(probes)
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+      .select(col("query_id"), col("neighbor_id"),
+        tfns.cosineUdf(col("qe"), col("ne")).as("s")), "bf_top1")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val ev = t(spark, "/root/testdata/sf0.001", "events")
@@ -357,21 +390,13 @@ object SparkEntry {
       val candIds = probeBanded.as("a").join(banded.as("b"), "bucket")
         .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"))
         .distinct()
-      // top-1 via partial-aggregatable max_by (no window sort); ties break
-      // to the lowest neighbor_id through the (s, -neighbor_id) struct order
-      def top1(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.groupBy(col("query_id"))
-          .agg(max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id"))).as(as))
       val lshTop = top1(candIds
         .join(probes, "query_id")
         .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
           "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           tfns.cosineUdf(col("qe"), col("ne")).as("s")), "lsh_top1")
-      val bf = top1(probes
-        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
-        .select(col("query_id"), col("neighbor_id"),
-          tfns.cosineUdf(col("qe"), col("ne")).as("s")), "bf_top1")
+      val bf = bfTop1(probes, emb)
       bf.join(lshTop, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           (sum(when(col("lsh_top1") === col("bf_top1"), 1).otherwise(0))
@@ -415,14 +440,8 @@ object SparkEntry {
       // (a separate count() subtree would re-run the assign UDF over the
       // whole table — the round-2 embed-query mistake)
       val perQuery = cands.groupBy(col("query_id"))
-        .agg(max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id"))).as("ivf_top1"),
-          count(lit(1)).as("nc"))
-      val bf = broadcast(probes)
-        .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
-        .select(col("query_id"), col("neighbor_id"),
-          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
-        .groupBy(col("query_id"))
-        .agg(max_by(col("neighbor_id"), struct(col("s"), -col("neighbor_id"))).as("bf_top1"))
+        .agg(top1Expr.as("ivf_top1"), count(lit(1)).as("nc"))
+      val bf = bfTop1(probes, emb)
       bf.join(perQuery, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           (sum(when(col("ivf_top1") === col("bf_top1"), 1).otherwise(0))
@@ -581,17 +600,7 @@ object SparkEntry {
     // proven here through the driver's own oracle gate (StreamingSpec
     // covers the update-mode and sessionization variants in sbt).
     "q_stream_windowed_sketches" -> { (s, dir) =>
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file stream source wants a directory. If the events table IS a
-      // directory (part-files), stream it directly; if it is a single file,
-      // stream the parent with a glob pinned to it (pathGlobFilter matches
-      // LEAF file names, so it would match nothing against part-files).
-      val evPath = new java.io.File(s"$dir/events.parquet")
-      val stream =
-        if (evPath.isDirectory) s.readStream.schema(schema).parquet(evPath.getPath)
-        else s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val agg = stream
+      val agg = eventsFileStream(s, dir)
         // the table stores TIMESTAMP_NTZ; watermarks require TIMESTAMP —
         // the session is pinned to UTC, so this is a pure reinterpretation
         .withColumn("ts", col("ts").cast("timestamp"))
@@ -609,26 +618,19 @@ object SparkEntry {
       s.table(sink).orderBy("day", "event_type")
     },
     // stateful streaming sessionization on the driver-visible path:
-    // flatMapGroupsWithState with event-time timeout + intra-batch
-    // gap-splitting (Trigger.AvailableNow lands the whole table in one
-    // micro-batch — the 100 TB backfill-replay case — so sessions are
-    // event-time islands computed inside the batch; only each user's LAST
-    // island waits for the watermark timeout). The emitted set is exactly
-    // closed-form: every non-final island per user, plus the final island
-    // iff its end + gap sits strictly below the final watermark
-    // (max event ms − gap) — which the DuckDB oracle replicates with a
-    // lag()-islands query and the same ms-floor arithmetic Spark uses.
-    // KLL per-session median is exact (≤ ~100 events/island, zero
-    // compactions at k=256) == quantile_disc.
+    // flatMapGroupsWithState holding each key's pending event-time islands
+    // in state (Trigger.AvailableNow lands the whole table in one
+    // micro-batch — the 100 TB backfill-replay case). An island is emitted
+    // only once the watermark seals it (end + gap < wm), so the emitted
+    // set equals batch gap-sessionization of the admissible stream and is
+    // exactly closed-form: every island whose end + gap sits strictly
+    // below the final watermark (max event ms − gap) — which the DuckDB
+    // oracle replicates with a lag()-islands query and the same ms-floor
+    // arithmetic Spark uses. KLL per-session median is exact (≤ ~100
+    // events/island, zero compactions at k=256) == quantile_disc.
     "q_stream_sessions" -> { (s, dir) =>
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val evPath = new java.io.File(s"$dir/events.parquet")
-      val stream =
-        if (evPath.isDirectory) s.readStream.schema(schema).parquet(evPath.getPath)
-        else s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
       import s.implicits._
-      val turns = stream
+      val turns = eventsFileStream(s, dir)
         .withColumn("ts", col("ts").cast("timestamp"))
         .select(col("user_id").cast("string").as("conv_id"), lit("e").as("role"),
           col("value").cast("double").as("text_len"), col("ts"))
@@ -924,11 +926,11 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |       count(DISTINCT user_id) AS users, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
-    // islands sessionization + the watermark-closure predicate: a user's
-    // non-final sessions always emit (closed intra-batch); the final one
-    // emits iff last_ms + gap < max_all_ms - gap (event-time timeout fires
-    // strictly below the eviction watermark). epoch_ms == Spark's
-    // micros/1000 floor.
+    // islands sessionization + the watermark-seal predicate: EVERY island
+    // emits iff last_ms + gap < final watermark (= max_all_ms - gap; the
+    // event-time timeout fires strictly below the eviction watermark, and
+    // pending islands above it are never sealed because the watermark
+    // never advances again). epoch_ms == Spark's micros/1000 floor.
     "q_stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, value, ts, epoch_ms(ts) AS tms,
@@ -942,13 +944,12 @@ object SparkEntry {
         |  SELECT user_id, grp, count(*) AS n_events, min(tms) AS first_ts_ms,
         |         max(tms) - min(tms) AS duration_ms,
         |         quantile_disc(value, 0.5e0) AS value_p50,
-        |         max(value) AS value_max, max(tms) AS last_ms,
-        |         max(grp) OVER (PARTITION BY user_id) AS last_grp
+        |         max(value) AS value_max, max(tms) AS last_ms
         |  FROM g GROUP BY user_id, grp),
         |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
         |SELECT user_id, n_events, first_ts_ms, duration_ms, value_p50, value_max
         |FROM sess, wm
-        |WHERE grp <> last_grp OR last_ms + 3600000 < w
+        |WHERE last_ms + 3600000 < w
         |ORDER BY user_id, first_ts_ms""".stripMargin,
     "q_sized_sketches" ->
       """SELECT

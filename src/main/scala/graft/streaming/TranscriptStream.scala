@@ -31,7 +31,7 @@ object TranscriptStream {
   /** One turn event on the stream (a projection of the input_hint schema). */
   case class TurnEvent(conv_id: String, role: String, text_len: Double, ts: Timestamp)
 
-  /** Accumulating per-conversation session state. `maxLen` is tracked
+  /** One event-time island of a key's sessions. `maxLen` is tracked
     * exactly (the KLL's retained maximum can sit below the true max after
     * compaction, so a column named len_max must not read quantile(1.0)).
     */
@@ -41,6 +41,16 @@ object TranscriptStream {
       lastTsMs: Long,
       maxLen: Double,
       kllLen: Array[Byte])
+
+  /** Per-key state: every island not yet sealed by the watermark, sorted by
+    * start, pairwise separated by more than the gap. An island is only
+    * emitted once `end + gap < watermark` — before that, an admissible
+    * (non-late) event could still arrive and bridge it, so eager emission
+    * would split sessions that global gap-sessionization keeps whole.
+    * State is bounded by the islands inside one watermark window per key
+    * (events behind the watermark are dropped by the engine).
+    */
+  case class PendingSessions(islands: Seq[SessionState])
 
   /** Emitted when a session closes — by event-time timeout (watermark
     * passed last + gap) or intra-batch (a later same-key event sits more
@@ -76,78 +86,101 @@ object TranscriptStream {
 
   private val kllK = 256
 
-  /** Per-conversation sessionization with event-time timeout AND
-    * intra-batch gap-splitting: one micro-batch can carry MANY sessions of
-    * the same key (the 100 TB backfill-replay case — Trigger.AvailableNow
-    * over a table lands everything in one batch), so this function sorts
-    * the key's batch slice by event time and closes a session whenever the
-    * next event sits more than `gapSeconds` past the current session's
-    * end. Only the final (still-open) session per key waits for the
-    * watermark-driven timeout. Memory bound = one key's events in one
-    * micro-batch (they are materialized to sort; at production batch sizes
-    * cap via maxFilesPerTrigger/maxBytesPerTrigger, which also restores
-    * incremental emission).
+  /** Per-conversation sessionization with EXACT global gap semantics under
+    * any batching: one micro-batch can carry MANY sessions of the same key
+    * (the 100 TB backfill-replay case — Trigger.AvailableNow over a table
+    * lands everything in one batch), so the key's state holds a sorted
+    * list of event-time islands. A new event merges into the island it
+    * falls within `gapSeconds` of (possibly bridging two islands into
+    * one); an island is emitted only once the watermark passes its
+    * `end + gap` — at that point no admissible event can ever attach to it
+    * (any such event would be behind the watermark and is dropped by the
+    * engine), so the emitted sessions equal batch gap-sessionization of
+    * the full admissible stream. Eagerly emitting an island the moment a
+    * later same-key event lands past the gap would be wrong: a THIRD,
+    * still-admissible event between them could bridge both.
+    *
+    * State per key = islands inside one watermark window (events behind
+    * the watermark never create islands); in a backfill replay cap the
+    * batch via maxFilesPerTrigger so the watermark advances between
+    * batches and seals islands incrementally.
     */
   def sessionize(turns: Dataset[TurnEvent], gapSeconds: Long): Dataset[SessionSummary] = {
-    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val stateEnc: Encoder[PendingSessions] = Encoders.product[PendingSessions]
     implicit val outEnc: Encoder[SessionSummary] = Encoders.product[SessionSummary]
     implicit val strEnc: Encoder[String] = Encoders.STRING
     val gapMs = gapSeconds * 1000L
 
-    def summary(convId: String, s: SessionState, kll: KllSketch): SessionSummary =
-      SessionSummary(convId, s.turns, s.firstTsMs, s.lastTsMs - s.firstTsMs,
-        kll.quantileLower(0.5), s.maxLen)
+    // live (mutable) island: stats + the KLL it feeds
+    final class Isl(var turns: Long, var first: Long, var last: Long,
+        var maxLen: Double, var kll: KllSketch)
+
+    def summary(convId: String, i: Isl): SessionSummary =
+      SessionSummary(convId, i.turns, i.first, i.last - i.first,
+        i.kll.quantileLower(0.5), i.maxLen)
 
     turns
       .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState[SessionState, SessionSummary](
+      .flatMapGroupsWithState[PendingSessions, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (convId: String, events: Iterator[TurnEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed lastTs + gap: close and emit the session
-            val s = state.get
-            val kll = KllSketch.fromBytes(s.kllLen)
-            state.remove()
-            Iterator.single(summary(convId, s, kll))
-          } else {
-            // event-time order within the batch slice; an event behind the
-            // open session's end but within the gap merges into it (late
-            // but inside the watermark — same semantics as cross-batch)
+        (convId: String, events: Iterator[TurnEvent], state: GroupState[PendingSessions]) =>
+          // getCurrentWatermarkMs: in a timeout invocation this is the
+          // eviction watermark that fired the timeout; in a data invocation
+          // it is the (conservative, one batch older) late-events watermark
+          val wm = state.getCurrentWatermarkMs
+          val islands = scala.collection.mutable.ArrayBuffer.empty[Isl]
+          state.getOption.foreach(_.islands.foreach { s =>
+            islands += new Isl(s.turns, s.firstTsMs, s.lastTsMs, s.maxLen,
+              KllSketch.fromBytes(s.kllLen))
+          })
+          if (!state.hasTimedOut) {
             val evs = events.toArray
             java.util.Arrays.sort(evs, Ordering.by((e: TurnEvent) => e.ts.getTime))
-            val out = List.newBuilder[SessionSummary]
-            var st: SessionState = state.getOption.orNull
-            var kll: KllSketch =
-              if (st != null) KllSketch.fromBytes(st.kllLen) else null
             evs.foreach { e =>
               val t = e.ts.getTime
-              if (st != null && t - st.lastTsMs > gapMs) {
-                out += summary(convId, st, kll) // closed intra-batch
-                st = null
+              // islands are sorted by start and pairwise > gap apart, so t
+              // attaches to at most one island — the first whose end+gap
+              // reaches t — and can additionally bridge it to its successor
+              var i = 0
+              while (i < islands.length && islands(i).last + gapMs < t) i += 1
+              if (i < islands.length && t >= islands(i).first - gapMs) {
+                val isl = islands(i)
+                isl.turns += 1
+                isl.first = math.min(isl.first, t)
+                isl.last = math.max(isl.last, t)
+                isl.maxLen = math.max(isl.maxLen, e.text_len)
+                isl.kll.add(e.text_len)
+                if (i + 1 < islands.length &&
+                    islands(i + 1).first - isl.last <= gapMs) {
+                  val nxt = islands.remove(i + 1) // t bridged two islands
+                  isl.turns += nxt.turns
+                  isl.last = math.max(isl.last, nxt.last)
+                  isl.maxLen = math.max(isl.maxLen, nxt.maxLen)
+                  isl.kll = isl.kll.mergeInPlace(nxt.kll)
+                }
+              } else {
+                val isl = new Isl(1L, t, t, e.text_len, KllSketch(kllK))
+                isl.kll.add(e.text_len)
+                islands.insert(i, isl) // new singleton island (> gap from both sides)
               }
-              if (st == null) {
-                kll = KllSketch(kllK)
-                st = SessionState(0L, t, t, Double.NegativeInfinity, null)
-              }
-              kll.add(e.text_len)
-              st = SessionState(st.turns + 1, math.min(st.firstTsMs, t),
-                math.max(st.lastTsMs, t), math.max(st.maxLen, e.text_len), null)
             }
-            if (st != null) {
-              state.update(st.copy(kllLen = kll.toBytes))
-              // clamp to just past the watermark: setTimeoutTimestamp throws
-              // if the timeout is not later than the current watermark. Spark
-              // 4.1 filters rows behind the watermark before this function
-              // (FlatMapGroupsWithStateExec.watermarkPredicateForDataForLateEvents),
-              // so the clamp is defense-in-depth for engines/configs that do
-              // deliver late rows — a late event then closes the session at
-              // the watermark instead of crashing the query
-              state.setTimeoutTimestamp(
-                math.max(st.lastTsMs + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            out.result().iterator
           }
+          // emit every sealed island; keep the rest pending
+          val (sealedI, open) = islands.partition(_.last + gapMs < wm)
+          if (open.nonEmpty) {
+            state.update(PendingSessions(open.map(i =>
+              SessionState(i.turns, i.first, i.last, i.maxLen, i.kll.toBytes)).toSeq))
+            // earliest pending seal point, clamped to just past the
+            // watermark: setTimeoutTimestamp throws if the timeout is not
+            // later than the current watermark (a pending island can sit
+            // exactly AT the watermark boundary)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last + gapMs).min, wm + 1))
+          } else if (state.exists) {
+            state.remove()
+          }
+          sealedI.map(summary(convId, _)).iterator
       }
   }
 }

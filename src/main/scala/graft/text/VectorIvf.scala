@@ -56,6 +56,13 @@ object VectorIvf {
         if (!taken(c) && sims(c) > bestSim) { best = c; bestSim = sims(c) }
         c += 1
       }
+      if (best < 0) {
+        // every remaining similarity is NaN (NaN payload in the vector or a
+        // centroid): fall back to the lowest untaken index — deterministic,
+        // and a UDF crash inside an executor would fail the whole query
+        c = 0
+        while (best < 0 && c < k) { if (!taken(c)) best = c; c += 1 }
+      }
       taken(best) = true
       out(i) = best
       i += 1
@@ -63,7 +70,9 @@ object VectorIvf {
     out
   }
 
-  /** The cell a vector is stored in: its single nearest centroid. */
+  /** The cell a vector is stored in: its single nearest centroid;
+    * -1 on an empty codebook (joins then simply match nothing).
+    */
   def assign(v: Seq[Float], centroids: Array[Array[Float]]): Int =
-    topClusters(v, centroids, 1)(0)
+    if (centroids.isEmpty) -1 else topClusters(v, centroids, 1)(0)
 }

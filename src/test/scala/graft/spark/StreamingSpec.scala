@@ -90,13 +90,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       TurnEvent("X", "user", 2.0, ts(1)),
       TurnEvent("X", "user", 9.0, ts(30)))
     q.processAllAvailable()
-    // islands 1 and 2 are closed by LATER X events in the same batch and
-    // emit immediately, before any watermark movement
-    val immediate = sp.sql("SELECT * FROM batch_islands").as[SessionSummary].collect()
-    assert(immediate.length == 2, s"two intra-batch-closed islands, got ${immediate.length}")
-    stream.addData(TurnEvent("PUSHX", "user", 1.0, ts(300))) // watermark past 30+gap
+    // the engine's own no-data batch advances the watermark to 28 min,
+    // which SEALS islands 1 and 2 (ends 1, 11 + 2 min gap < 28) — island 3
+    // (end 30) is still bridgeable by admissible events and must stay
+    // pending
+    val sealedAt28 = sp.sql("SELECT * FROM batch_islands").as[SessionSummary].collect()
+    assert(sealedAt28.length == 2,
+      s"islands ending 1,11 sealed at wm=28; island at 30 pending, got ${sealedAt28.toSeq}")
+    stream.addData(TurnEvent("PUSHX", "user", 1.0, ts(300))) // wm -> 298 seals the third
     q.processAllAvailable()
-    stream.addData(TurnEvent("PUSHX2", "user", 1.0, ts(301))) // eviction batch
+    stream.addData(TurnEvent("PUSHX2", "user", 1.0, ts(301)))
     q.processAllAvailable()
     q.stop()
     val out = sp.sql("SELECT * FROM batch_islands WHERE conv_id = 'X'")
@@ -109,6 +112,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       && s2.len_p50 == 30.0 && s2.len_max == 40.0, s"island 2: $s2")
     assert(s3.turns == 1 && s3.first_ts_ms == ts(30).getTime && s3.duration_ms == 0L
       && s3.len_p50 == 9.0 && s3.len_max == 9.0, s"island 3: $s3")
+  }
+
+  test("sessionize: admissible event BRIDGES two pending islands into one session") {
+    import graft.streaming.TranscriptStream
+    import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def tss(sec: Int): java.sql.Timestamp = new java.sql.Timestamp(1735689600000L + sec * 1000L)
+    val stream = MemoryStream[TurnEvent]
+    val sessions = TranscriptStream.sessionize(stream.toDS(), gapSeconds = 120)
+    val q = sessions.writeStream.format("memory").queryName("bridged")
+      .outputMode("append").start()
+    // batch 1: islands [0,60] and [210,240] (150 s apart > 120 s gap); the
+    // watermark lands at 240-120 = 120 s, so neither island is sealed
+    // ([0,60]: 60+120 = 180 > 120) and an event at 150 s is admissible
+    stream.addData(
+      TurnEvent("X", "user", 1.0, tss(0)), TurnEvent("X", "user", 2.0, tss(60)),
+      TurnEvent("X", "user", 3.0, tss(210)), TurnEvent("X", "user", 4.0, tss(240)))
+    q.processAllAvailable()
+    // batch 2: t=150 attaches to [0,60] (90 <= gap) AND bridges to
+    // [210,240] (210-150 = 60 <= gap) — global sessionization sees ONE
+    // session [0,240]; the old eager-emit code would have already split
+    // off [0,60] and produced two sessions
+    stream.addData(TurnEvent("X", "user", 9.0, tss(150)))
+    q.processAllAvailable()
+    stream.addData(TurnEvent("PUSHB", "user", 1.0, tss(3600)))
+    q.processAllAvailable()
+    stream.addData(TurnEvent("PUSHB2", "user", 1.0, tss(3660)))
+    q.processAllAvailable()
+    q.stop()
+    val out = sp.sql("SELECT * FROM bridged WHERE conv_id = 'X'")
+      .as[SessionSummary].collect()
+    assert(out.length == 1, s"bridged into ONE session, got ${out.toSeq}")
+    val s = out.head
+    assert(s.turns == 5 && s.first_ts_ms == tss(0).getTime && s.duration_ms == 240000L
+      && s.len_max == 9.0, s"bridged session: $s")
+    assert(s.len_p50 == 3.0, s"median of {1,2,9,3,4} = 3, got ${s.len_p50}")
   }
 
   test("sessionize survives events far behind the watermark (no crash, row dropped)") {
