@@ -174,7 +174,14 @@ object TranscriptStream {
             // earliest pending seal point, clamped to just past the
             // watermark: setTimeoutTimestamp throws if the timeout is not
             // later than the current watermark (a pending island can sit
-            // exactly AT the watermark boundary)
+            // exactly AT the watermark boundary). Known 1 ms edge: when the
+            // clamp binds (seal point == wm) AND the watermark's FINAL value
+            // lands exactly at wm+1, the strict `timeout < watermark` fire
+            // rule means no timeout can legally be armed that fires — the
+            // island stays pending although `end+gap < W` holds. Requires
+            // ms-exact triple alignment across batches; cannot occur in a
+            // two-watermark profile (one data batch + final no-data batch,
+            // e.g. the Trigger.AvailableNow backfill replay).
             state.setTimeoutTimestamp(
               math.max(open.map(_.last + gapMs).min, wm + 1))
           } else if (state.exists) {
