@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 2-minute box-health probe: scan-only throughput (zero user code) at
+  * local[2] vs local[8] over the cached bench table. Clean box ⇒ 2→8
+  * efficiency ≈ 0.79–0.99; a shared host (invisible to this VM) shows up
+  * as ≤ ~0.75. Run before a full Bench to avoid wasting a 20-minute run
+  * on a contaminated window.
+  */
+object BoxProbe {
+  def main(args: Array[String]): Unit = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_TABLE",
+      "/root/repo/data/transcripts-c12000000")
+    def scanAt(cores: Int): Double = {
+      val s = SparkSession.builder().master(s"local[$cores]")
+        .appName(s"box-probe-$cores")
+        .config("spark.sql.shuffle.partitions", 2 * cores)
+        .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      try {
+        def scan(): Long = s.read.parquet(path)
+          .select(col("conv_id").cast("binary").as("c"), col("role"),
+            col("tool").cast("binary").as("t"), col("text_len"))
+          .select(sum(length(col("c")) + length(col("role"))
+            + coalesce(length(col("t")), lit(0)) + col("text_len")))
+          .collect()(0).getLong(0)
+        scan() // warmup
+        val times = (1 to 2).map { _ =>
+          System.gc(); Thread.sleep(200)
+          val t0 = System.nanoTime(); scan(); (System.nanoTime() - t0) / 1e9
+        }
+        times.min
+      } finally s.stop()
+    }
+    val t2 = scanAt(2)
+    val t8 = scanAt(8)
+    val eff = (t2 / t8) / 4.0
+    println(f"""{"probe_scan_sec_local2":$t2%.2f,"probe_scan_sec_local8":$t8%.2f,"probe_scan_2_to_8":$eff%.4f,"clean":${eff >= 0.78}}""")
+  }
+}
