@@ -152,6 +152,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.len_p50 == 3.0, s"median of {1,2,9,3,4} = 3, got ${s.len_p50}")
   }
 
+  test("sessionize == Spark's built-in session_window on a pseudo-random stream") {
+    // third, independent oracle for island boundaries: batch
+    // groupBy(session_window(ts, gap)) computes exact gap-sessionization;
+    // sessionize (streamed in 3 arbitrary batch cuts, then watermark pushed
+    // far past everything) must produce the same (key, start, count) set
+    import graft.streaming.TranscriptStream
+    import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val base = 1735689600000L
+    // deterministic pseudo-random events: 6 keys x 40 events over ~3h,
+    // in ts order across batches (so no event is ever behind the watermark)
+    val evs = (for (k <- 0 until 6; i <- 0 until 40) yield {
+      val h = graft.sketch.core.XxHash64.hashLong(k * 1000L + i, 7L)
+      val tsMs = base + (math.abs(h) % 10800000L)
+      TurnEvent(s"k$k", "user", (math.abs(h) % 97).toDouble,
+        new java.sql.Timestamp(tsMs))
+    }).sortBy(_.ts.getTime)
+    val gap = 300L // 5 min
+    val stream = MemoryStream[TurnEvent]
+    val q = TranscriptStream.sessionize(stream.toDS(), gapSeconds = gap)
+      .writeStream.format("memory").queryName("sw_check")
+      .outputMode("append").start()
+    evs.grouped(80).foreach { chunk => stream.addData(chunk: _*); q.processAllAvailable() }
+    // push the watermark far past the last event so every island seals
+    stream.addData(TurnEvent("PUSH", "user", 1.0,
+      new java.sql.Timestamp(base + 20000000L)))
+    q.processAllAvailable()
+    stream.addData(TurnEvent("PUSH2", "user", 1.0,
+      new java.sql.Timestamp(base + 20060000L)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.sql(
+      "SELECT conv_id, first_ts_ms, turns FROM sw_check WHERE conv_id LIKE 'k%'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = evs.toDF()
+      .groupBy(col("conv_id"), session_window(col("ts"), s"$gap seconds"))
+      .agg(count(lit(1)).as("turns"))
+      .select(col("conv_id"),
+        unix_millis(col("session_window.start")).as("first_ts_ms"), col("turns"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"diff=${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
   test("sessionize survives events far behind the watermark (no crash, row dropped)") {
     import graft.streaming.TranscriptStream
     import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
