@@ -81,6 +81,52 @@ object SparkEntry {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
+  /** Stage the events table as `chunks` parquet files cut on equal spans of
+    * event time, so a file stream over the staging dir with
+    * `maxFilesPerTrigger = 1` replays the table across `chunks` micro-batches
+    * with an ADVANCING watermark — the 100 TB backfill operating mode
+    * (incremental state sealing between batches), vs the single-batch
+    * Trigger.AvailableNow landing everything at once. Cutting on time spans
+    * guarantees every event in chunk i+1 is newer than ALL events in chunks
+    * <= i, so no event is ever behind the watermark and the emitted result
+    * equals the single-batch (and batch-oracle) answer exactly. Chunk files
+    * are named chunk-i.parquet AND given ascending mtimes so the file
+    * source's processing order matches event-time order whether it sorts
+    * candidates by path or by modification time.
+    */
+  private def stageEventsByTime(s: SparkSession, dir: String, chunks: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = t(s, dir, "events")
+    val mm = ev.agg(min(unix_micros(col("ts").cast("timestamp"))).as("lo"),
+      max(unix_micros(col("ts").cast("timestamp"))).as("hi")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stage", s"events-${Integer.toHexString(dir.hashCode)}-$chunks")
+    // deterministic rebuild per run: the stream source tracks files by name,
+    // so a stale dir from a previous sf would corrupt the replay
+    if (Files.exists(stage)) {
+      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(stage)
+    val span = math.max(1L, (hi - lo) / chunks + 1)
+    val baseMtime = System.currentTimeMillis() - 120000L
+    (0 until chunks).foreach { i =>
+      val tmp = stage.resolve(s"tmp-$i")
+      ev.filter(unix_micros(col("ts").cast("timestamp"))
+          .between(lo + i * span, math.min(hi, lo + (i + 1) * span - 1)))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      val dest = stage.resolve(f"chunk-$i%03d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(baseMtime + i * 1000L)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    stage.toString
+  }
+
   /** Deterministic ANN top-1 read-out over a (query_id, neighbor_id, s)
     * candidate frame: partial-aggregatable max_by (no per-group sort
     * shuffle), ties broken to the LOWEST neighbor_id through the
@@ -480,7 +526,7 @@ object SparkEntry {
     // SimHash near-dup recovery with planted ground truth, end to end:
     // 64-bit token SimHash → 8×8-bit banding (pigeonhole: any pair with
     // hamming ≤ 7 shares a band) → capped bucket pair expansion → id-pair
-    // dedup → codegen'd bit_count hamming gate ≤ 8. The corpus is the
+    // dedup → codegen'd bit_count hamming gate ≤ 7. The corpus is the
     // deterministic synthetic one (TextFunctions.synthDoc over doc_id):
     // variant-1 docs (ids offset by 10^9, far beyond any real doc_id, so
     // planted ids can never collide with originals; planted for
@@ -520,7 +566,13 @@ object SparkEntry {
       candIds
         .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
         .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
-        .filter(tfns.hammingCol(col("sha"), col("shb")) <= 8)
+        // gate == the pigeonhole guarantee: 8 bands of 8 bits recover every
+        // pair at hamming <= 7 with certainty, so the gate must not admit
+        // more than the banding promises — a <= 8 gate would depend on the
+        // cross-id hamming margin (min 12 at sf<=0.1) staying above 8,
+        // which shrinks as the corpus grows; <= 7 keeps recall guaranteed
+        // (planted max hamming is 4) without betting on the margin tail
+        .filter(tfns.hammingCol(col("sha"), col("shb")) <= 7)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     },
@@ -619,18 +671,26 @@ object SparkEntry {
     },
     // stateful streaming sessionization on the driver-visible path:
     // flatMapGroupsWithState holding each key's pending event-time islands
-    // in state (Trigger.AvailableNow lands the whole table in one
-    // micro-batch — the 100 TB backfill-replay case). An island is emitted
-    // only once the watermark seals it (end + gap < wm), so the emitted
+    // in state, replayed across >= 4 micro-batches (time-cut chunk files +
+    // maxFilesPerTrigger=1 under Trigger.AvailableNow) so the watermark
+    // advances BETWEEN batches and islands seal incrementally — the 100 TB
+    // backfill operating mode with cross-batch state carry. An island is
+    // emitted only once the watermark seals it (end + gap <= wm), so the emitted
     // set equals batch gap-sessionization of the admissible stream and is
-    // exactly closed-form: every island whose end + gap sits strictly
-    // below the final watermark (max event ms − gap) — which the DuckDB
+    // exactly closed-form: every island whose end + gap sits at or below
+    // the final watermark (max event ms − gap) — which the DuckDB
     // oracle replicates with a lag()-islands query and the same ms-floor
     // arithmetic Spark uses. KLL per-session median is exact (≤ ~100
     // events/island, zero compactions at k=256) == quantile_disc.
     "q_stream_sessions" -> { (s, dir) =>
       import s.implicits._
-      val turns = eventsFileStream(s, dir)
+      // multi-batch replay: 4 time-cut chunk files, one per micro-batch, so
+      // the driver-visible path exercises cross-batch state carry and
+      // incremental watermark sealing — not just the single-batch landing
+      val stage = stageEventsByTime(s, dir, chunks = 4)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val turns = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
         .withColumn("ts", col("ts").cast("timestamp"))
         .select(col("user_id").cast("string").as("conv_id"), lit("e").as("role"),
           col("value").cast("double").as("text_len"), col("ts"))
@@ -642,11 +702,98 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the multi-batch claim must hold on the executed path, not by
+      // construction: 4 chunk files at maxFilesPerTrigger=1 => >= 4 data
+      // batches (+ the final timeout batch); anything less means the replay
+      // degenerated to the single-landing case this query exists to disprove
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"expected >= 3 data micro-batches in the staged replay, saw $batches")
       s.table(sink)
         .select(col("conv_id").cast("long").as("user_id"),
           col("turns").as("n_events"), col("first_ts_ms"), col("duration_ms"),
           col("len_p50").as("value_p50"), col("len_max").as("value_max"))
         .orderBy("user_id", "first_ts_ms")
+    },
+    // skew-defusing two-phase aggregation on the driver-visible path
+    // (north-rule "salted pre-aggregation to defuse conv_id skew",
+    // jobs/SaltedAgg.scala): phase 1 groups by (event_type, salt-bucket of
+    // user_id) building partial sketches, phase 2 merges partials per
+    // event_type — a hot key's rows spread over 8 reducers instead of one.
+    // Because every sketch merge is associative+commutative, the salted
+    // answer equals the unsalted one: HLL register-max is order-free
+    // (bitwise-identical state), and the KLL stays in the zero-compaction
+    // exact regime (per-group n << k = 32768), so both columns match the
+    // exact DuckDB aggregation. The executed plan is the two-phase shape:
+    // two HashAggregate pairs with an exchange on (event_type, __salt)
+    // then on event_type.
+    "q_salted_agg" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.jobs.SaltedAgg(
+        ev, Seq("event_type"), col("user_id"), buckets = 8,
+        partialAggs = Seq(
+          fns.hllLongAgg(col("user_id")).as("hll"),
+          exactFns.kllAgg(col("value")).as("kll"),
+          count(lit(1)).as("n")),
+        finalAggs = Seq(
+          fns.hllMergeAgg(col("hll")).as("hll"),
+          exactFns.kllMergeAgg(col("kll")).as("kll"),
+          sum(col("n")).as("n")))
+        .select(col("event_type"),
+          fns.hllCardinality(col("hll")).as("users"),
+          exactFns.kllQuantile(col("kll"), lit(0.5)).as("value_p50"),
+          col("n"))
+        .orderBy("event_type")
+    },
+    // JSON interop codec on the executed path (SURVEY.md §2.5,
+    // bloom.js:147-159 / count-min.js:106-118 / ngram.js:83-95 /
+    // stream-summary.js:203-230 / t-digest.js:296-317): every sketch kind
+    // is exported to the reference's JSON shape, re-imported, and the
+    // round trip is gated two ways — the re-export must be byte-identical
+    // JSON (export∘import is the identity on the reference shape) and the
+    // imported sketch must answer a query identically to the original.
+    "q_json_roundtrip" -> { (s, dir) =>
+      import graft.sketch._
+      val bloomRt = udf((b: Array[Byte]) => {
+        val sk = BloomSketch.fromBytes(b); val j = JsonCodec.toJson(sk)
+        val sk2 = JsonCodec.bloomFromJson(j)
+        JsonCodec.toJson(sk2) == j && sk2.size == sk.size
+      })
+      val cmsRt = udf((b: Array[Byte]) => {
+        val sk = CmsSketch.fromBytes(b); val j = JsonCodec.toJson(sk)
+        val sk2 = JsonCodec.cmsFromJson(j)
+        JsonCodec.toJson(sk2) == j && sk2.query("click") == sk.query("click")
+      })
+      val topkRt = udf((b: Array[Byte]) => {
+        val sk = SpaceSavingSketch.fromBytes(b); val j = JsonCodec.toJson(sk)
+        val sk2 = JsonCodec.spaceSavingFromJson(j)
+        JsonCodec.toJson(sk2) == j && sk2.topK(None) == sk.topK(None)
+      })
+      val tdRt = udf((b: Array[Byte]) => {
+        val sk = TDigestSketch.fromBytes(b); val j = JsonCodec.toJson(sk)
+        val sk2 = JsonCodec.tdigestFromJson(j)
+        JsonCodec.toJson(sk2) == j && sk2.quantile(0.5) == sk.quantile(0.5)
+      })
+      val ngramRt = udf((b: Array[Byte]) => {
+        val sk = NGramSketch.fromBytes(b); val j = JsonCodec.toJson(sk)
+        val sk2 = JsonCodec.ngramFromJson(j)
+        JsonCodec.toJson(sk2) == j && sk2.norm == sk.norm
+      })
+      val ev = t(s, dir, "events").agg(
+        fns.cmsAgg(col("event_type")).as("cms"),
+        fns.topkAgg(col("event_type")).as("topk"),
+        exactFns.tdigestAgg(col("value")).as("td"),
+        count(lit(1)).as("n_events"))
+      val pt = t(s, dir, "part").agg(
+        fns.bloomAgg(col("p_brand")).as("bloom"),
+        fns.ngramAgg(col("p_name")).as("ngram"))
+      ev.crossJoin(pt).select(
+        col("n_events"),
+        bloomRt(col("bloom")).as("bloom_ok"),
+        cmsRt(col("cms")).as("cms_ok"),
+        topkRt(col("topk")).as("topk_ok"),
+        tdRt(col("td")).as("tdigest_ok"),
+        ngramRt(col("ngram")).as("ngram_ok"))
     },
     // multimodal: binary blobs with typed headers, round-tripped through
     // the codec (encode UDF → binary column → parse UDF) and profiled per
@@ -927,9 +1074,9 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS users, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // islands sessionization + the watermark-seal predicate: EVERY island
-    // emits iff last_ms + gap < final watermark (= max_all_ms - gap; the
-    // event-time timeout fires strictly below the eviction watermark, and
-    // pending islands above it are never sealed because the watermark
+    // emits iff last_ms + gap <= final watermark (= max_all_ms - gap; an
+    // island at-or-below the watermark can never gain an admissible event,
+    // and pending islands above it are never sealed because the watermark
     // never advances again). epoch_ms == Spark's micros/1000 floor.
     "q_stream_sessions" ->
       """WITH e AS (
@@ -949,7 +1096,7 @@ object SparkEntry {
         |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
         |SELECT user_id, n_events, first_ts_ms, duration_ms, value_p50, value_max
         |FROM sess, wm
-        |WHERE last_ms + 3600000 < w
+        |WHERE last_ms + 3600000 <= w
         |ORDER BY user_id, first_ts_ms""".stripMargin,
     "q_sized_sketches" ->
       """SELECT
@@ -963,6 +1110,19 @@ object SparkEntry {
         |  TRUE AS bloom_size_ok,
         |  (SELECT count(*) FROM part WHERE p_brand = 'Brand#1') AS cms_brand1,
         |  (SELECT count(*) FROM part WHERE p_brand = 'Brand#1') AS brand1_exact""".stripMargin,
+    // the salted two-phase plan must equal the plain exact aggregation:
+    // HLL state is bitwise order-free, KLL stays zero-compaction exact
+    "q_salted_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users,
+        |       quantile_disc(value, 0.5e0) AS value_p50, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // export∘import is the identity on the reference JSON shape and the
+    // imported sketch answers queries identically — both checked engine-side
+    // as booleans; DuckDB supplies the anchoring exact count
+    "q_json_roundtrip" ->
+      """SELECT count(*) AS n_events, TRUE AS bloom_ok, TRUE AS cms_ok,
+        |       TRUE AS topk_ok, TRUE AS tdigest_ok, TRUE AS ngram_ok
+        |FROM events""".stripMargin,
     "q_media_profile" ->
       """WITH m AS (SELECT
         |    CASE CAST(vec_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -28,12 +28,12 @@ import graft.sketch.core.Fnv1a
   * per buffer for CMS/Space-Saving). Buffers serialize through the shared
   * composite codec, so spill, shuffle and sort-based fallback all work.
   *
-  * DELIBERATE default difference: this flagship defaults `bloomW = 0`
-  * (conv-id Bloom OFF, `bloom_conv` empty) while `TurnSketchAgg` defaults it
-  * on. A mergeable membership filter must be capacity-sized to the group's
-  * distinct count via `Bloom.create(n, p)` — an undersized default saturates
-  * (FPR → 1, zero information) while 4×-ing the partial state every map task
-  * ships, so the throughput flagship makes the filter strictly opt-in.
+  * Defaults `bloomW = 0` (conv-id Bloom OFF, `bloom_conv` empty) — the same
+  * default as `TurnSketchAgg`, so the two registrations cannot silently
+  * diverge. A mergeable membership filter must be capacity-sized to the
+  * group's distinct count via `Bloom.create(n, p)` — an undersized default
+  * saturates (FPR → 1, zero information) while 4×-ing the partial state
+  * every map task ships, so both flagships make the filter strictly opt-in.
   *
   * SQL: `SELECT role, turn_sketch_native(conv_id, tool, text_len) ...`
   * (register via [[GraftExtensions]] or [[TurnSketchNativeAgg.register]]).

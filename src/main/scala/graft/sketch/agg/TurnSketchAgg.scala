@@ -147,7 +147,9 @@ object TurnSketches {
   * filter (FPR → 1, zero information) while quadrupling the partial-state
   * shuffled per map task. Capacity-planned membership jobs configure it
   * explicitly; the throughput flagship runs the five capacity-valid
-  * sketches.
+  * sketches. The default is therefore bloom-OFF — the same default as
+  * `TurnSketchNativeAgg`, so migrating a job between the UDAF and the
+  * native registration can never silently change which sketches it builds.
   */
 final class TurnSketchAgg(
     hllP: Int = HllSketch.DefaultP,
@@ -156,7 +158,7 @@ final class TurnSketchAgg(
     topKCapacity: Int = SpaceSavingSketch.DefaultCounters,
     tdigestNc: Int = TDigestSketch.DefaultCentroids,
     kllK: Int = KllSketch.DefaultK,
-    bloomW: Int = BloomSketch.DefaultBits,
+    bloomW: Int = 0,
     bloomD: Int = BloomSketch.DefaultHash)
     extends Aggregator[TurnInput, TurnSketches, TurnSketchResult] {
 

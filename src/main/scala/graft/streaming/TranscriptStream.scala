@@ -44,7 +44,7 @@ object TranscriptStream {
 
   /** Per-key state: every island not yet sealed by the watermark, sorted by
     * start, pairwise separated by more than the gap. An island is only
-    * emitted once `end + gap < watermark` — before that, an admissible
+    * emitted once `end + gap <= watermark` — before that, an admissible
     * (non-late) event could still arrive and bridge it, so eager emission
     * would split sessions that global gap-sessionization keeps whole.
     * State is bounded by the islands inside one watermark window per key
@@ -92,11 +92,11 @@ object TranscriptStream {
     * lands everything in one batch), so the key's state holds a sorted
     * list of event-time islands. A new event merges into the island it
     * falls within `gapSeconds` of (possibly bridging two islands into
-    * one); an island is emitted only once the watermark passes its
+    * one); an island is emitted only once the watermark reaches its
     * `end + gap` — at that point no admissible event can ever attach to it
-    * (any such event would be behind the watermark and is dropped by the
-    * engine), so the emitted sessions equal batch gap-sessionization of
-    * the full admissible stream. Eagerly emitting an island the moment a
+    * (any such event would be at or behind the watermark and is dropped by
+    * the engine), so the emitted sessions equal batch gap-sessionization
+    * of the full admissible stream. Eagerly emitting an island the moment a
     * later same-key event lands past the gap would be wrong: a THIRD,
     * still-admissible event between them could bridge both.
     *
@@ -166,24 +166,35 @@ object TranscriptStream {
               }
             }
           }
-          // emit every sealed island; keep the rest pending
-          val (sealedI, open) = islands.partition(_.last + gapMs < wm)
+          // emit every sealed island; keep the rest pending. Seal predicate
+          // is `end + gap <= wm` (NOT strict <): the engine's late filter
+          // drops rows with ts <= watermark, so every event that can still
+          // arrive has ts > wm, and an event attaches to an island only if
+          // ts <= end + gap — an island with end + gap <= wm therefore can
+          // never gain another event and is safe to emit NOW, including in
+          // a data invocation whose watermark has just caught up to it.
+          val (sealedI, open) = islands.partition(_.last + gapMs <= wm)
           if (open.nonEmpty) {
             state.update(PendingSessions(open.map(i =>
               SessionState(i.turns, i.first, i.last, i.maxLen, i.kll.toBytes)).toSeq))
-            // earliest pending seal point, clamped to just past the
-            // watermark: setTimeoutTimestamp throws if the timeout is not
-            // later than the current watermark (a pending island can sit
-            // exactly AT the watermark boundary). Known 1 ms edge: when the
-            // clamp binds (seal point == wm) AND the watermark's FINAL value
-            // lands exactly at wm+1, the strict `timeout < watermark` fire
-            // rule means no timeout can legally be armed that fires — the
-            // island stays pending although `end+gap < W` holds. Requires
-            // ms-exact triple alignment across batches; cannot occur in a
-            // two-watermark profile (one data batch + final no-data batch,
-            // e.g. the Trigger.AvailableNow backfill replay).
+            // Arm ONE ms below the earliest pending seal point s (every
+            // open island has s > wm, so s - 1 >= wm): the engine fires a
+            // timeout iff armTs < W (strict), so arming at s - 1 fires
+            // exactly when the watermark REACHES s — the first moment the
+            // island is sealed under the <= predicate. Together with the
+            // <=-seal above this closes the old 1 ms hole (seal point == wm
+            // with the final watermark landing at wm+1: such an island is
+            // now emitted by the data invocation itself, regression-tested
+            // in StreamingSpec). The clamp to wm + 1 (setTimeoutTimestamp
+            // throws at or below the watermark) binds only when s == wm+1;
+            // the sole remaining unreachable firing is then a FINAL
+            // watermark landing exactly ON s — inherent to the engine's
+            // contract (arm floor wm+1, strict-< fire), since detecting "W
+            // advanced to exactly wm+1 and never again" would need an arm
+            // below the floor. Any later invocation of the key re-arms and
+            // re-narrows this to its new wm.
             state.setTimeoutTimestamp(
-              math.max(open.map(_.last + gapMs).min, wm + 1))
+              math.max(open.map(_.last + gapMs).min - 1, wm + 1))
           } else if (state.exists) {
             state.remove()
           }

@@ -25,8 +25,10 @@ object BoxProbe {
         def scan(): Long = s.read.parquet(path)
           .select(col("conv_id").cast("binary").as("c"), col("role"),
             col("tool").cast("binary").as("t"), col("text_len"))
-          .select(sum(length(col("c")) + length(col("role"))
-            + coalesce(length(col("t")), lit(0)) + col("text_len")))
+          // coalesce over the sum: an empty input path yields 0 with a
+          // sensible downstream error instead of an opaque NPE on getLong
+          .select(coalesce(sum(length(col("c")) + length(col("role"))
+            + coalesce(length(col("t")), lit(0)) + col("text_len")), lit(0L)))
           .collect()(0).getLong(0)
         scan() // warmup
         val times = (1 to 2).map { _ =>

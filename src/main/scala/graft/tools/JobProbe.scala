@@ -43,7 +43,7 @@ object JobProbe {
             cmsWidth = 8192, cmsDepth = 5) // match Bench's job config
           val t0 = System.nanoTime()
           val res = SketchJob.run(spark, cfg)
-          val n = res.agg(sum(col("turns"))).collect()(0).getLong(0)
+          val n = res.agg(coalesce(sum(col("turns")), lit(0L))).collect()(0).getLong(0)
           val sec = (System.nanoTime() - t0) / 1e9
           val metrics = try {
             new String(java.nio.file.Files.readAllBytes(

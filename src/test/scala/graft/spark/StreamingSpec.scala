@@ -199,6 +199,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"diff=${(streamed diff batch) ++ (batch diff streamed)}")
   }
 
+  test("sessionize emits an island whose seal point == watermark, final wm at wm+1 (old 1 ms edge)") {
+    // Regression for the round-3 documented edge: with the old strict-<
+    // seal and max(seal, wm+1) arm, an island whose seal point s equalled
+    // the watermark at its key's last data invocation, with the FINAL
+    // watermark landing exactly at wm+1, could never be emitted — the
+    // clamped timeout (wm+1) is not < the final watermark (wm+1), and the
+    // strict seal kept the data invocation from emitting it. The triple,
+    // ms-exact (gap 10 s, so seal = end + 10000):
+    //   batch 1: E@B, E@B+5s (island1 end B+5000, s1 = B+15000) and a
+    //            nudge@B+25s  => watermark after batch 1 = B+15000 == s1
+    //   batch 2: E@B+20s (new island2 — cannot attach, B+20000 > s1) runs
+    //            E's data invocation AT wm == s1; nudge2@B+25.001s leaves
+    //            the FINAL watermark at B+15001 = wm+1
+    // New semantics (<= seal + arm at seal-1): island1 is emitted (by the
+    // post-batch-1 timeout at s1-1 or by batch 2's data invocation);
+    // island2 (s2 = B+30000 > final wm) must stay pending.
+    import graft.streaming.TranscriptStream
+    import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val base = 1735689600000L
+    def t(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(base + ms)
+    val stream = MemoryStream[TurnEvent]
+    val sessions = TranscriptStream.sessionize(stream.toDS(), gapSeconds = 10)
+    val q = sessions.writeStream.format("memory").queryName("edge_sessions")
+      .outputMode("append").start()
+    stream.addData(
+      TurnEvent("E", "user", 1.0, t(0)),
+      TurnEvent("E", "user", 2.0, t(5000)),
+      TurnEvent("NUDGE", "user", 1.0, t(25000)))
+    q.processAllAvailable()
+    stream.addData(
+      TurnEvent("E", "user", 3.0, t(20000)),
+      TurnEvent("NUDGE2", "user", 1.0, t(25001)))
+    q.processAllAvailable()
+    q.stop()
+    val out = sp.sql("SELECT * FROM edge_sessions WHERE conv_id = 'E'")
+      .as[SessionSummary].collect()
+    assert(out.length == 1, s"island1 sealed at the watermark must emit " +
+      s"(and island2 at B+20000 stays pending), got ${out.toSeq}")
+    val s = out.head
+    assert(s.turns == 2 && s.first_ts_ms == base && s.duration_ms == 5000L
+      && s.len_max == 2.0, s"island1: $s")
+  }
+
   test("sessionize survives events far behind the watermark (no crash, row dropped)") {
     import graft.streaming.TranscriptStream
     import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
