@@ -452,9 +452,12 @@ object SparkEntry {
     // Jégou et al. 2011, without the PQ codes) next to the hyperplane-LSH
     // path above. The codebook is 64 deterministic data-point pivots
     // (lowest vec_ids) closed over by the assign/probe UDFs — O(K·dim)
-    // floats shipped to executors, the table itself never collected; at
-    // 100 TB the codebook would come from k-means over a driver-side
-    // sample, same plan shape. Each indexed vector lives in exactly ONE
+    // floats shipped to executors, the table itself never collected; the
+    // production path (deterministic k-means over a hash sample + an
+    // assign-once persisted index reused across probe batches) is
+    // VectorIvfIndex.fit/index/search, same plan shape, proven in
+    // SparkIntegrationSpec/VectorLshSpec; the pivots stay here because the
+    // oracle needs a closed-form codebook. Each indexed vector lives in ONE
     // Voronoi cell, so unlike multi-table LSH a (query, neighbor) pair is
     // generated at most once — no dedup shuffle before the exact-cosine
     // rerank. A probe scans only its nprobe=8 nearest cells via a cluster

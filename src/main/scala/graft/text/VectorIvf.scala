@@ -9,11 +9,13 @@ package graft.text
   * top-`nprobe` cells (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search" §IV-A — the IVF layer, without the PQ codes).
   *
-  * The codebook here is a deterministic set of data-point pivots (lowest
-  * vec_ids) so the whole pipeline is reproducible against a closed-form
-  * oracle; at production scale you'd Lloyd-iterate on a driver-side sample
-  * first. Either way the model is O(K·dim) floats broadcast to every
-  * executor — the table itself is never collected.
+  * Two codebook paths: deterministic data-point pivots (lowest vec_ids —
+  * what the oracle-gated query pins, reproducible against a closed-form
+  * oracle) and [[kmeans]], a deterministic driver-side Lloyd over a hash
+  * sample — the production path ([[VectorIvfIndex.fit]]), which recovers
+  * cells aligned with the data's true clusters where low-id pivots cannot.
+  * Either way the model is O(K·dim) floats broadcast to every executor —
+  * the table itself is never collected.
   *
   * No reference counterpart (builder-brief addition, like [[VectorLsh]]).
   */
@@ -75,4 +77,91 @@ object VectorIvf {
     */
   def assign(v: Seq[Float], centroids: Array[Array[Float]]): Int =
     if (centroids.isEmpty) -1 else topClusters(v, centroids, 1)(0)
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val dim = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+    if (n == 0) v.clone()
+    else {
+      val s = 1.0 / math.sqrt(n)
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) * s).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Deterministic spherical k-means over a driver-side sample — the
+    * production codebook path (vs the data-point pivots the oracle-gated
+    * query pins): farthest-first init (greedy k-center from the first
+    * sample point, ties to the lower index — no RNG, so the codebook is
+    * reproducible run-to-run) followed by `iters` Lloyd rounds under the
+    * cosine metric (assign to nearest centroid by cosine; recenter on the
+    * mean of the members' UNIT vectors, so a long vector cannot dominate a
+    * direction cell). An emptied cluster keeps its previous centroid.
+    * Cost is O(sample × k × dim × iters) on the driver — the sample is
+    * bounded (see [[VectorIvfIndex.fit]]), never the table.
+    */
+  def kmeans(sample: Array[Array[Float]], k: Int, iters: Int = 10): Array[Array[Float]] = {
+    require(sample.nonEmpty, "kmeans needs a non-empty sample")
+    val n = sample.length
+    val kk = math.max(1, math.min(k, n))
+    // farthest-first init on cosine distance
+    val chosen = new Array[Int](kk)
+    chosen(0) = 0
+    val minDist = Array.fill(n)(Double.MaxValue)
+    var c = 0
+    while (c < kk - 1) {
+      var i = 0
+      while (i < n) {
+        val d = 1.0 - cosine(sample(i), sample(chosen(c)))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+      var best = 0; var bestD = Double.NegativeInfinity
+      i = 0
+      while (i < n) { if (minDist(i) > bestD) { bestD = minDist(i); best = i }; i += 1 }
+      chosen(c + 1) = best
+      c += 1
+    }
+    var cents: Array[Array[Float]] = chosen.map(i => unit(sample(i)))
+    var it = 0
+    while (it < iters) {
+      val dim = cents(0).length
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        val cell = assign(scala.collection.immutable.ArraySeq.unsafeWrapArray(sample(i)), cents)
+        val u = unit(sample(i))
+        var d = 0
+        while (d < math.min(dim, u.length)) { sums(cell)(d) += u(d); d += 1 }
+        counts(cell) += 1
+        i += 1
+      }
+      cents = Array.tabulate(kk) { cell =>
+        if (counts(cell) == 0) cents(cell) // empty cell keeps its centroid
+        else {
+          val m = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { m(d) = (sums(cell)(d) / counts(cell)).toFloat; d += 1 }
+          unit(m)
+        }
+      }
+      it += 1
+    }
+    cents
+  }
 }

@@ -456,4 +456,54 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT hll_cardinality(hll_agg(conv_id)) FROM transcripts").collect()(0).getLong(0)
     assert(merged == whole, s"re-agg $merged != direct $whole")
   }
+
+  test("IVF index lifecycle: fit from hash-sample, assign once, reuse across probe batches") {
+    import graft.text.{TextFunctions, VectorIvfIndex, VectorLsh}
+    import graft.sketch.core.XxHash64
+    val sp = spark
+    import sp.implicits._
+    // clustered vectors (8 true direction clusters, contiguous id blocks —
+    // the distribution where the learned codebook beats low-id pivots)
+    val dim = 16
+    def randVec(id: Long): Array[Float] = Array.tabulate(dim) { i =>
+      val h = XxHash64.hashLong(id * 1000 + i, 42L)
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+    }
+    val centers = (0 until 8).map(c => randVec(90000L + c * 7777L)).toArray
+    val vecs = (0 until 400).map { id =>
+      val noise = randVec(id.toLong)
+      (id.toLong, Array.tabulate(dim)(i => centers(id / 50)(i) + 0.25f * noise(i)).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+
+    // fit is deterministic end-to-end (hash-sample order + RNG-free Lloyd)
+    val cents1 = VectorIvfIndex.fit(emb, "vec_id", "embedding", k = 8, sampleCap = 256)
+    val cents2 = VectorIvfIndex.fit(emb, "vec_id", "embedding", k = 8, sampleCap = 256)
+    assert(cents1.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq, "fit must be deterministic")
+
+    // assign ONCE, persist, reuse across two probe batches
+    val index = VectorIvfIndex.index(emb, "vec_id", "embedding", cents1).persist()
+    assert(index.count() == 400)
+    assert(index.storageLevel.useMemory, "index must be persisted for reuse")
+    def probeBatch(ids: Seq[Int]): DataFrame =
+      ids.map { id =>
+        (id.toLong, VectorLsh.perturb(vecs(id)._2, id.toLong, 0.1).toSeq)
+      }.toDF("query_id", "qe")
+    val all = vecs.toMap
+    def check(ids: Seq[Int]): Unit = {
+      val got = VectorIvfIndex.top1(
+        VectorIvfIndex.search(index, probeBatch(ids), cents1, nprobe = 2))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var hits = 0
+      ids.foreach { id =>
+        val probe = VectorLsh.perturb(vecs(id)._2, id.toLong, 0.1)
+        val truth = vecs.map(_._1).maxBy(j => TextFunctions.cosine(probe.toSeq, all(j)))
+        if (got.get(id.toLong).contains(truth)) hits += 1
+      }
+      assert(hits >= ids.size * 9 / 10, s"IVF recall@1 over persisted index: $hits/${ids.size}")
+    }
+    check(0 until 40)         // probe batch 1
+    check(200 until 240)      // probe batch 2 — same index, no re-assign
+    index.unpersist()
+  }
 }

@@ -141,4 +141,65 @@ class VectorLshSpec extends AnyFunSuite {
     // the pruning actually prunes: nprobe/K = 1/8 expected, gate at 2x
     assert(candTotal <= 50 * n / 4, s"candidates $candTotal vs bound ${50 * n / 4}")
   }
+
+  test("IVF k-means codebook: deterministic, and recall beats data-point pivots on clustered data") {
+    // clustered distribution — the regime where a learned codebook earns
+    // its keep: 8 true direction clusters, members = unit center + noise.
+    // Points are ordered so the FIRST 50 ids all belong to cluster 0: the
+    // pivot codebook (lowest-id data points, as the oracle-gated query
+    // uses) then spends all 8 cells subdividing one true cluster and cuts
+    // the other seven with arbitrary Voronoi boundaries, while k-means
+    // recovers one cell per true cluster.
+    val dim = 16
+    val nPerCluster = 50
+    val centers = (0 until 8).map(c => randVec(90000L + c * 7777L, dim)).toArray
+    def member(id: Int): Array[Float] = {
+      val c = id / nPerCluster // ids 0..49 -> cluster 0, 50..99 -> 1, ...
+      val noise = randVec(id.toLong, dim)
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { v(i) = centers(c)(i) + 0.25f * noise(i); i += 1 }
+      v
+    }
+    val n = 8 * nPerCluster
+    val points = (0 until n).map(member).toArray
+
+    val learned = VectorIvf.kmeans(points, 8, iters = 10)
+    val learned2 = VectorIvf.kmeans(points, 8, iters = 10)
+    assert(learned.map(_.toSeq).toSeq == learned2.map(_.toSeq).toSeq,
+      "k-means must be deterministic (no RNG anywhere)")
+    val pivots = points.take(8).map(_.clone())
+
+    def stats(cents: Array[Array[Float]], nprobe: Int): (Double, Int) = {
+      val cells = scala.collection.mutable.HashMap.empty[Int, List[Int]]
+      points.zipWithIndex.foreach { case (v, id) =>
+        val c = VectorIvf.assign(v.toSeq, cents)
+        cells.update(c, id :: cells.getOrElse(c, Nil))
+      }
+      var hits = 0
+      var cand = 0
+      (0 until 100).foreach { q =>
+        val id = q * 4 // probes spread over all clusters
+        val probe = VectorLsh.perturb(points(id).toSeq, id.toLong, 0.1)
+        val cs = VectorIvf.topClusters(probe.toSeq, cents, nprobe)
+          .flatMap(c => cells.getOrElse(c, Nil))
+        cand += cs.length
+        val globalBest = points.indices.maxBy(j => cos(probe, points(j)))
+        if (cs.nonEmpty && cs.maxBy(j => cos(probe, points(j))) == globalBest) hits += 1
+      }
+      (hits / 100.0, cand)
+    }
+    // nprobe=1 is the discriminating regime: a probe near a Voronoi
+    // boundary of the DEGENERATE codebook lands in a different cell than
+    // its nearest neighbor (measured: pivot recall 0.85), while k-means
+    // cells align with the true clusters so probe and neighbor agree
+    // (measured: 1.0 with perfectly balanced cells, 50 candidates/probe)
+    val (kmeansRecall, kmeansCand) = stats(learned, 1)
+    val (pivotRecall, _) = stats(pivots, 1)
+    assert(kmeansRecall > pivotRecall,
+      s"k-means recall $kmeansRecall must beat pivot recall $pivotRecall on clustered data")
+    assert(kmeansRecall >= 0.95, s"k-means recall on clustered data: $kmeansRecall")
+    // the learned cells must also PRUNE: ~n/8 candidates per probe
+    assert(kmeansCand <= 100 * n / 8 * 3 / 2, s"k-means candidate volume: $kmeansCand")
+  }
 }
