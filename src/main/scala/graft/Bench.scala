@@ -314,20 +314,29 @@ object Bench {
       .map(_.toBoolean).getOrElse(benchConvs >= 1000000L)
     val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_MAX_RETRIES").map(_.toInt).getOrElse(2)
     val preflightGauges = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var preflightClean = true // true when the gate passed (or was skipped)
     if (benchScale && !sys.env.contains("SPARK_GRAFT_SKIP_PREFLIGHT")) {
       val s0 = session(8)
       try TranscriptGen.ensure(s0, benchPath, benchConvs, hotConvs = 8,
         hotTurns = 20000, parallelism = 64)
       finally s0.stop()
       var attempt = 0
-      var clean = false
-      while (!clean && attempt <= maxRetries) {
+      preflightClean = false
+      while (!preflightClean && attempt <= maxRetries) {
         val (_, _, g) = graft.tools.BoxProbe.gauge(benchPath)
         preflightGauges += g
-        clean = g >= graft.tools.BoxProbe.CleanThreshold2to8
+        preflightClean = g >= graft.tools.BoxProbe.CleanThreshold2to8
         attempt += 1
-        if (!clean && attempt <= maxRetries) Thread.sleep(90000)
+        if (!preflightClean && attempt <= maxRetries) Thread.sleep(90000)
       }
+      // a gate that never saw a clean window still proceeds (the driver
+      // needs an artifact and the per-pair heal below still defends every
+      // reported pair) — but the failure is recorded as a first-class flag,
+      // not left for the reader to infer from the raw gauge list
+      if (!preflightClean) System.err.println(
+        s"[bench] WARNING: pre-flight gate FAILED after ${preflightGauges.size} " +
+          s"probes (gauges ${preflightGauges.map(fmt).mkString(", ")}) — " +
+          "proceeding on a known-contaminated box; treat absolute numbers as suspect")
     }
 
     def runLevel(c: Int): Unit = c match {
@@ -383,6 +392,25 @@ object Bench {
     // 0.72–0.83, contaminated 0.27 — gate at 0.60)
     heal(2, 8, "pair_2_8", graft.tools.BoxProbe.CleanThreshold2to8)
     heal(4, 16, "pair_4_16", 0.60)
+    // metrics that span a re-measured level AND an untouched one were
+    // computed across different time windows — disclose them instead of
+    // letting a clean-window numerator silently divide a contaminated-
+    // window denominator (all are saturated/secondary pairs; the gauged
+    // pairs themselves are always single-window by construction)
+    val mixedWindowMetrics: Seq[String] = {
+      val remeasured = scala.collection.mutable.Set.empty[Int]
+      if (healLog.get("pair_2_8").exists(_._1.size > 1)) remeasured ++= Seq(2, 8)
+      if (healLog.get("pair_4_16").exists(_._1.size > 1)) remeasured ++= Seq(4, 16)
+      def mixed(levels: Int*): Boolean =
+        levels.exists(remeasured.contains) && !levels.forall(remeasured.contains)
+      Seq(
+        "flagship_8_to_32" -> mixed(8, 32), "scan_only_8_to_32" -> mixed(8, 32),
+        "all6_8_to_32" -> mixed(8, 32),
+        // the fitted exponent spans levels from BOTH gauged pairs, so any
+        // re-measurement leaves it crossing windows
+        "flagship_fitted_2_to_16" -> remeasured.nonEmpty)
+        .collect { case (name, true) => name }
+    }
 
     // OFFICIAL N→4N pair: local[2] → local[8]. Both levels sit inside the
     // single box's memory-bandwidth envelope, emulating executors that each
@@ -448,6 +476,9 @@ object Bench {
         s""""self_heal":{""" +
         s""""bench_scale":$benchScale,"max_retries":$maxRetries,""" +
         s""""preflight_gauges":${preflightGauges.map(fmt).mkString("[", ",", "]")},""" +
+        s""""preflight_clean":$preflightClean,""" +
+        s""""mixed_window_metrics":${
+          mixedWindowMetrics.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""pairs":{""" +
         healLog.map { case (name, (gauges, chosen)) =>
           s""""$name":{"gauges":${gauges.map(fmt).mkString("[", ",", "]")},"chosen":$chosen}"""
@@ -506,7 +537,15 @@ object Bench {
       val healNote = {
         val pre =
           if (preflightGauges.isEmpty) "pre-flight skipped"
+          else if (!preflightClean)
+            s"**pre-flight gate FAILED** (gauges ${preflightGauges.map(fmt).mkString(", ")} " +
+              "— no clean window found; the ladder ran on a known-contaminated box)"
           else s"pre-flight BoxProbe gauge(s) ${preflightGauges.map(fmt).mkString(", ")}"
+        val mixed =
+          if (mixedWindowMetrics.isEmpty) ""
+          else s" Cross-window metrics after re-measurement (numerator and " +
+            s"denominator from different time windows — saturated/secondary " +
+            s"pairs only): ${mixedWindowMetrics.mkString(", ")}."
         val pairs =
           if (healLog.isEmpty) "no pair-level heal ran (smoke mode)"
           else healLog.map { case (name, (gauges, chosen)) =>
@@ -519,7 +558,7 @@ object Bench {
            |scan-only gauge fails its clean floor (2→8: ≥ 0.78, 4→16:
            |≥ 0.60) is re-measured — both levels, every column — after a
            |pause, up to $maxRetries times; the best-gauge attempt is kept
-           |and the full gauge trail is in `bench_out.json` `self_heal`.""".stripMargin
+           |and the full gauge trail is in `bench_out.json` `self_heal`.$mixed""".stripMargin
       }
       val md =
         s"""# BENCH — measured on this machine (32 physical cores, 1 socket, 1 NUMA node, local mode)

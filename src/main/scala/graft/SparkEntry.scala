@@ -95,35 +95,59 @@ object SparkEntry {
     * candidates by path or by modification time.
     */
   private def stageEventsByTime(s: SparkSession, dir: String, chunks: Int): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def deleteTree(root: Path): Unit = {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
+      finally walk.close()
+    }
     val ev = t(s, dir, "events")
-    val mm = ev.agg(min(unix_micros(col("ts").cast("timestamp"))).as("lo"),
-      max(unix_micros(col("ts").cast("timestamp"))).as("hi")).collect()(0)
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val tcol = unix_micros(col("ts").cast("timestamp"))
+    val mm = ev.agg(min(tcol).as("lo"), max(tcol).as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    require(!mm.isNullAt(0),
+      s"$dir/events.parquet is empty — nothing to stage for the streaming replay")
+    val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    // count-balanced, time-ordered cuts: exact ts quantiles (data values,
+    // relativeError=0 ⇒ deterministic), so every chunk is non-empty on any
+    // non-degenerate table — equal-SPAN cuts could produce empty chunks on
+    // clustered timestamps and silently shrink the replay below the
+    // multi-batch gate. Chunk i = (cut_{i-1}, cut_i]: all rows that tie on
+    // a cut value land in the same chunk, keeping chunk i+1 strictly newer
+    // than everything before it (the no-late-event guarantee).
+    val qs = (1 until chunks).map(_.toDouble / chunks).toArray
+    val cuts = ev.select(tcol.as("t")).stat
+      .approxQuantile("t", qs, 0.0).map(_.toLong).distinct.sorted
+      .filter(c => c >= lo && c < hi)
+    val bounds = (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).toArray
     val stage = Paths.get(sys.props("java.io.tmpdir"),
       "graft-stage", s"events-${Integer.toHexString(dir.hashCode)}-$chunks")
-    // deterministic rebuild per run: the stream source tracks files by name,
-    // so a stale dir from a previous sf would corrupt the replay
-    if (Files.exists(stage)) {
-      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    val marker = stage.resolve("_STAGED")
+    val stamp = s"v2|$lo|$hi|$n|${cuts.mkString(",")}"
+    // staging is idempotent per (dir, chunks, table fingerprint): the
+    // warmup pass, the timed pass and the oracle dump all reuse one staged
+    // set, so the timed per-query number measures the replay, not repeated
+    // staging I/O (each query run still gets its own fresh temp checkpoint,
+    // so file-source offsets never leak across runs)
+    if (Files.exists(marker) && Files.readString(marker) == stamp) return stage.toString
+    if (Files.exists(stage)) deleteTree(stage)
     Files.createDirectories(stage)
-    val span = math.max(1L, (hi - lo) / chunks + 1)
     val baseMtime = System.currentTimeMillis() - 120000L
-    (0 until chunks).foreach { i =>
+    bounds.zipWithIndex.foreach { case (Array(lo0, hi0), i) =>
       val tmp = stage.resolve(s"tmp-$i")
-      ev.filter(unix_micros(col("ts").cast("timestamp"))
-          .between(lo + i * span, math.min(hi, lo + (i + 1) * span - 1)))
+      ev.filter(tcol > lo0 && tcol <= hi0)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+        finally listing.close()
       val dest = stage.resolve(f"chunk-$i%03d.parquet")
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
       dest.toFile.setLastModified(baseMtime + i * 1000L)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      deleteTree(tmp)
     }
+    Files.writeString(marker, stamp)
     stage.toString
   }
 
@@ -706,9 +730,14 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       // the multi-batch claim must hold on the executed path, not by
-      // construction: 4 chunk files at maxFilesPerTrigger=1 => >= 4 data
-      // batches (+ the final timeout batch); anything less means the replay
-      // degenerated to the single-landing case this query exists to disprove
+      // construction. Quantile-cut staging yields 4 non-empty chunk files
+      // (one data batch each at maxFilesPerTrigger=1, + the final timeout
+      // batch) on any table with >= 4 distinct timestamps; the gate is >= 3
+      // so a single quantile tie cannot flap the run, while still ruling
+      // out the single-landing degenerate case this query exists to
+      // disprove. Failing loudly here is deliberate: this is a correctness
+      // query, and a silent single-batch replay would pass the oracle while
+      // proving nothing about cross-batch state carry.
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 3,
         s"expected >= 3 data micro-batches in the staged replay, saw $batches")

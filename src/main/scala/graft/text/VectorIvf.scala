@@ -137,6 +137,10 @@ object VectorIvf {
       c += 1
     }
     var cents: Array[Array[Float]] = chosen.map(i => unit(sample(i)))
+    // normalize the sample ONCE — cosine assignment is scale-invariant and
+    // the recentering always consumes unit vectors, so re-deriving them per
+    // Lloyd round would be O(n·dim·iters) pure allocation churn
+    val units: Array[Array[Float]] = sample.map(unit)
     var it = 0
     while (it < iters) {
       val dim = cents(0).length
@@ -144,8 +148,8 @@ object VectorIvf {
       val counts = new Array[Int](kk)
       var i = 0
       while (i < n) {
-        val cell = assign(scala.collection.immutable.ArraySeq.unsafeWrapArray(sample(i)), cents)
-        val u = unit(sample(i))
+        val u = units(i)
+        val cell = assign(scala.collection.immutable.ArraySeq.unsafeWrapArray(u), cents)
         var d = 0
         while (d < math.min(dim, u.length)) { sums(cell)(d) += u(d); d += 1 }
         counts(cell) += 1
