@@ -314,8 +314,10 @@ object Bench {
       .map(_.toBoolean).getOrElse(benchConvs >= 1000000L)
     val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_MAX_RETRIES").map(_.toInt).getOrElse(2)
     val preflightGauges = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var preflightClean = true // true when the gate passed (or was skipped)
+    var preflightRan = false   // distinguishes "passed" from "never ran"
+    var preflightClean = true  // meaningful only when preflightRan
     if (benchScale && !sys.env.contains("SPARK_GRAFT_SKIP_PREFLIGHT")) {
+      preflightRan = true
       val s0 = session(8)
       try TranscriptGen.ensure(s0, benchPath, benchConvs, hotConvs = 8,
         hotTurns = 20000, parallelism = 64)
@@ -398,9 +400,13 @@ object Bench {
     // window denominator (all are saturated/secondary pairs; the gauged
     // pairs themselves are always single-window by construction)
     val mixedWindowMetrics: Seq[String] = {
+      // a pair is cross-window only when a RE-MEASUREMENT was KEPT
+      // (chosen > 0) — if every retry gauged worse and the original
+      // attempt was restored, all published numbers still come from the
+      // single original ladder pass
       val remeasured = scala.collection.mutable.Set.empty[Int]
-      if (healLog.get("pair_2_8").exists(_._1.size > 1)) remeasured ++= Seq(2, 8)
-      if (healLog.get("pair_4_16").exists(_._1.size > 1)) remeasured ++= Seq(4, 16)
+      if (healLog.get("pair_2_8").exists(_._2 > 0)) remeasured ++= Seq(2, 8)
+      if (healLog.get("pair_4_16").exists(_._2 > 0)) remeasured ++= Seq(4, 16)
       def mixed(levels: Int*): Boolean =
         levels.exists(remeasured.contains) && !levels.forall(remeasured.contains)
       Seq(
@@ -476,7 +482,7 @@ object Bench {
         s""""self_heal":{""" +
         s""""bench_scale":$benchScale,"max_retries":$maxRetries,""" +
         s""""preflight_gauges":${preflightGauges.map(fmt).mkString("[", ",", "]")},""" +
-        s""""preflight_clean":$preflightClean,""" +
+        s""""preflight_ran":$preflightRan,"preflight_clean":$preflightClean,""" +
         s""""mixed_window_metrics":${
           mixedWindowMetrics.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""pairs":{""" +

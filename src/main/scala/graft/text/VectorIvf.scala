@@ -118,6 +118,10 @@ object VectorIvf {
     require(sample.nonEmpty, "kmeans needs a non-empty sample")
     val n = sample.length
     val kk = math.max(1, math.min(k, n))
+    // normalize the sample ONCE — cosine is scale-invariant, so init,
+    // assignment and recentering all consume the same unit vectors;
+    // re-deriving them per use would be O(n·dim·iters) allocation churn
+    val units: Array[Array[Float]] = sample.map(unit)
     // farthest-first init on cosine distance
     val chosen = new Array[Int](kk)
     chosen(0) = 0
@@ -126,7 +130,7 @@ object VectorIvf {
     while (c < kk - 1) {
       var i = 0
       while (i < n) {
-        val d = 1.0 - cosine(sample(i), sample(chosen(c)))
+        val d = 1.0 - cosine(units(i), units(chosen(c)))
         if (d < minDist(i)) minDist(i) = d
         i += 1
       }
@@ -136,11 +140,7 @@ object VectorIvf {
       chosen(c + 1) = best
       c += 1
     }
-    var cents: Array[Array[Float]] = chosen.map(i => unit(sample(i)))
-    // normalize the sample ONCE — cosine assignment is scale-invariant and
-    // the recentering always consumes unit vectors, so re-deriving them per
-    // Lloyd round would be O(n·dim·iters) pure allocation churn
-    val units: Array[Array[Float]] = sample.map(unit)
+    var cents: Array[Array[Float]] = chosen.map(units(_))
     var it = 0
     while (it < iters) {
       val dim = cents(0).length
