@@ -13,8 +13,8 @@ import graft.sketch.BloomSketch
   * a System.gc() + pause before each so heap-pressure carryover between
   * runs cannot masquerade as a regression; the native and udaf flagship
   * variants are measured INTERLEAVED n,u,n,u,n,u so environmental drift
-  * within a session hits both equally; per-query wall times are single
-  * steady-state runs after a full warmup pass):
+  * within a session hits both equally; per-query wall times are the best
+  * of 2 steady-state runs after a full warmup pass):
   *  1. per-query wall times of the SparkEntry operator queries at local[32]
   *     on SPARK_GRAFT_SF_DIR, in a DEDICATED session that is stopped before
   *     any throughput run (query plans/caches must not pollute the ladder);
@@ -246,11 +246,14 @@ object Bench {
       try {
         // one untimed pass first: queries are timed at steady state
         // (codegen + first-planning of the multi-stage plans costs 3-5s
-        // once per JVM and is not what the engine costs per query)
+        // once per JVM and is not what the engine costs per query); then
+        // best of 2 timed runs — a single timed run under a flapping
+        // co-tenant produced ±30% per-query swings round-over-round
         SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir).collect() }
         queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val (_, sec) = timed(fn(spark, sfDir).collect())
-          name -> sec
+          val (_, s1) = timed(fn(spark, sfDir).collect())
+          val (_, s2) = timed(fn(spark, sfDir).collect())
+          name -> math.min(s1, s2)
         }.toMap
       } finally spark.stop()
     }
@@ -580,8 +583,8 @@ object Bench {
            |
            |**Every throughput column is best of 3 timed runs** (GC-normalized
            |between runs); the native/udaf pair is measured interleaved within
-           |each session so drift hits both equally. Per-query times are single
-           |steady-state runs after a full warmup pass.
+           |each session so drift hits both equally. Per-query times are the best
+           |of 2 steady-state runs after a full warmup pass.
            |
            |## Official scaling pair (N → 4N, same job, same input)
            |

@@ -505,5 +505,14 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(0 until 40)         // probe batch 1
     check(200 until 240)      // probe batch 2 — same index, no re-assign
     index.unpersist()
+
+    // the hash-sample is partitioning-INVARIANT: a cluster resize (fewer /
+    // more partitions) must not change the codebook a production job fits
+    val resampled = VectorIvfIndex.sampleVectors(
+      emb.repartition(7), "vec_id", "embedding", sampleCap = 256)
+    val original = VectorIvfIndex.sampleVectors(
+      emb, "vec_id", "embedding", sampleCap = 256)
+    assert(original.map(_.toSeq).toSeq == resampled.map(_.toSeq).toSeq,
+      "hash-sample must not depend on physical partitioning")
   }
 }

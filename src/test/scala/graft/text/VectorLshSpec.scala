@@ -202,4 +202,23 @@ class VectorLshSpec extends AnyFunSuite {
     // the learned cells must also PRUNE: ~n/8 candidates per probe
     assert(kmeansCand <= 100 * n / 8 * 3 / 2, s"k-means candidate volume: $kmeansCand")
   }
+
+  test("kmeans degenerate inputs: k > n, identical points, zero vectors") {
+    val v = randVec(11, 8)
+    // k > n clamps to n centroids
+    val few = VectorIvf.kmeans(Array(v, randVec(12, 8)), k = 8, iters = 3)
+    assert(few.length == 2)
+    // all-identical sample: converges without dividing by zero; every
+    // point assigns to SOME cell
+    val same = VectorIvf.kmeans(Array.fill(5)(v.clone()), k = 3, iters = 3)
+    assert(same.length == 3)
+    assert(VectorIvf.assign(v.toSeq, same) >= 0)
+    // zero vectors neither crash normalization nor poison centroids
+    val zeros = VectorIvf.kmeans(
+      Array(new Array[Float](8), v, new Array[Float](8)), k = 2, iters = 3)
+    assert(zeros.length == 2 && zeros.forall(_.forall(f => !f.isNaN)))
+    // single-point sample
+    val one = VectorIvf.kmeans(Array(v), k = 4, iters = 2)
+    assert(one.length == 1)
+  }
 }
