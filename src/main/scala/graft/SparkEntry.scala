@@ -750,10 +750,22 @@ object SparkEntry {
         .as[graft.streaming.TranscriptStream.TurnEvent]
       val sessions = graft.streaming.TranscriptStream.sessionize(turns, gapSeconds = 3600)
       val sink = "q_stream_sessions_out"
-      val q = sessions.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state partition count is pinned into the stream's checkpoint at
+      // start; size it to the data, not the session default — every batch
+      // pays a state-store instance per partition, so 64 partitions × 5
+      // micro-batches of a verify-scale table is pure overhead (measured
+      // 6.5 s → 2.7 s at sf0.1 going 64 → 8). A 100 TB backfill sizes
+      // this to cluster cores the same way; scoped + restored so the
+      // override cannot leak into other queries sharing the session.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          sessions.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       // the multi-batch claim must hold on the executed path, not by
       // construction. Quantile-cut staging yields 4 non-empty chunk files
