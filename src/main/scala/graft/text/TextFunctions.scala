@@ -133,8 +133,24 @@ object TextFunctions {
     inter.toDouble / (sa.size + sb.size - inter)
   }
 
+  /** Normalize a vector argument to the primitive float[] before any
+    * indexed loop. Spark 4 hands array columns to Scala UDFs as
+    * `List[Float]`, so an indexed `v(i)` while-loop is QUADRATIC on the
+    * hot path — every `v(i)` walks the list from its head. An ArraySeq
+    * wrapper (test call sites) unwraps for free; otherwise one O(n) copy
+    * buys O(1) unboxed indexing. The arithmetic afterwards is identical,
+    * so results are bit-exact either way.
+    */
+  def floats(s: Seq[Float]): Array[Float] = s match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case _                                              => s.toArray
+  }
+
   /** Cosine similarity of two float vectors (embedding columns). */
-  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+  def cosine(a: Seq[Float], b: Seq[Float]): Double =
+    cosineArrays(floats(a), floats(b))
+
+  def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

@@ -25,14 +25,16 @@ object VectorIvf {
     * first; ties break to the lower index (deterministic). `centroids` is
     * row-major `[k][dim]`.
     */
-  def topClusters(v: Seq[Float], centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {
+  def topClusters(vs: Seq[Float], centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {
+    // primitive array up front: Spark hands UDFs a List, where indexed
+    // access inside the per-centroid loop would be quadratic in dim
+    val v = TextFunctions.floats(vs)
     val k = centroids.length
     val n = math.min(nprobe, k)
     val sims = new Array[Double](k)
     var c = 0
     while (c < k) {
-      // inline cosine against the raw centroid array: the implicit
-      // Array→Seq wrapper would copy 64 floats per (row, centroid) pair
+      // inline cosine against the raw arrays (no wrapper per pair)
       val cen = centroids(c)
       val dim = math.min(v.length, cen.length)
       var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -37,7 +37,10 @@ object VectorLsh {
     })
 
   /** Signature of `v` in one table: `bits` sign bits packed into a Long. */
-  def signature(v: Seq[Float], bits: Int, table: Int): Long = {
+  def signature(v: Seq[Float], bits: Int, table: Int): Long =
+    signatureArr(TextFunctions.floats(v), bits, table)
+
+  private def signatureArr(v: Array[Float], bits: Int, table: Int): Long = {
     val n = v.length
     val h = planes(table, bits, n)
     var sig = 0L
@@ -62,7 +65,8 @@ object VectorLsh {
     * vector — the standard retrieval scenario) from fixed test data, keeping
     * the whole recall pipeline deterministic.
     */
-  def perturb(v: Seq[Float], id: Long, eps: Double): Array[Float] = {
+  def perturb(vs: Seq[Float], id: Long, eps: Double): Array[Float] = {
+    val v = TextFunctions.floats(vs) // List input would make v(i) quadratic
     val out = new Array[Float](v.length)
     var norm = 0.0
     var i = 0
@@ -84,11 +88,12 @@ object VectorLsh {
   /** Bucket keys for all tables, namespaced so different tables never
     * collide: key = hash(table, signature).
     */
-  def bucketKeys(v: Seq[Float], bits: Int, tables: Int): Array[Long] = {
+  def bucketKeys(vs: Seq[Float], bits: Int, tables: Int): Array[Long] = {
+    val v = TextFunctions.floats(vs) // convert ONCE, not once per table
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
-      out(t) = XxHash64.hashLong(signature(v, bits, t) * 31 + t, 0x5ca1ab1eL + t)
+      out(t) = XxHash64.hashLong(signatureArr(v, bits, t) * 31 + t, 0x5ca1ab1eL + t)
       t += 1
     }
     out
