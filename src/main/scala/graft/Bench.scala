@@ -458,7 +458,7 @@ object Bench {
         .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,""" +
-        s""""sf":"$sfDir","bench_turns":$turns,"best_of":3,""" +
+        s""""sf":"$sfDir","bench_turns":$turns,"best_of":3,"queries_best_of":2,""" +
         s""""sketch_build_turns_per_sec":${thrJson(thr)},""" +
         s""""sketch_build_udaf_turns_per_sec":${thrJson(thrUdaf)},""" +
         s""""scan_only_turns_per_sec":${thrJson(scanThr)},""" +

@@ -136,10 +136,11 @@ object TextFunctions {
   /** Normalize a vector argument to the primitive float[] before any
     * indexed loop. Spark 4 hands array columns to Scala UDFs as
     * `List[Float]`, so an indexed `v(i)` while-loop is QUADRATIC on the
-    * hot path — every `v(i)` walks the list from its head. An ArraySeq
-    * wrapper (test call sites) unwraps for free; otherwise one O(n) copy
-    * buys O(1) unboxed indexing. The arithmetic afterwards is identical,
-    * so results are bit-exact either way.
+    * hot path — every `v(i)` walks the list from its head. An
+    * immutable.ArraySeq (what the Array→Seq implicit conversion produces,
+    * after its own one-time copy) unwraps without copying; any other Seq
+    * pays one O(n) copy for O(1) unboxed indexing. The arithmetic
+    * afterwards is identical, so results are bit-exact either way.
     */
   def floats(s: Seq[Float]): Array[Float] = s match {
     case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray

@@ -34,17 +34,7 @@ object VectorIvf {
     val sims = new Array[Double](k)
     var c = 0
     while (c < k) {
-      // inline cosine against the raw arrays (no wrapper per pair)
-      val cen = centroids(c)
-      val dim = math.min(v.length, cen.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < dim) {
-        val x = v(i).toDouble; val y = cen(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      sims(c) = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      sims(c) = TextFunctions.cosineArrays(v, centroids(c))
       c += 1
     }
     // selection by repeated max: k is small (codebook, not data), so the
@@ -80,17 +70,10 @@ object VectorIvf {
   def assign(v: Seq[Float], centroids: Array[Array[Float]]): Int =
     if (centroids.isEmpty) -1 else topClusters(v, centroids, 1)(0)
 
-  private def cosine(a: Array[Float], b: Array[Float]): Double = {
-    val dim = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < dim) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-  }
+  // single source of truth for the arithmetic (bit-exactness across the
+  // library depends on every path sharing one implementation)
+  private def cosine(a: Array[Float], b: Array[Float]): Double =
+    TextFunctions.cosineArrays(a, b)
 
   private def unit(v: Array[Float]): Array[Float] = {
     var n = 0.0; var i = 0
@@ -124,10 +107,17 @@ object VectorIvf {
     // assignment and recentering all consume the same unit vectors;
     // re-deriving them per use would be O(n·dim·iters) allocation churn
     val units: Array[Array[Float]] = sample.map(unit)
+    // zero vectors (null/empty-content embeddings) carry no direction:
+    // cosine(0, x) = 0 makes them look maximally distant from EVERYTHING,
+    // themselves included, so unguarded farthest-first would burn centroid
+    // slots on zero (or duplicate) picks. They stay assignable as data but
+    // are never picked as seeds while a nonzero candidate remains.
+    val isZero = units.map(u => !u.exists(_ != 0f))
     // farthest-first init on cosine distance
     val chosen = new Array[Int](kk)
-    chosen(0) = 0
+    chosen(0) = units.indices.find(i => !isZero(i)).getOrElse(0)
     val minDist = Array.fill(n)(Double.MaxValue)
+    minDist(chosen(0)) = Double.NegativeInfinity // a seed is never re-picked
     var c = 0
     while (c < kk - 1) {
       var i = 0
@@ -136,9 +126,17 @@ object VectorIvf {
         if (d < minDist(i)) minDist(i) = d
         i += 1
       }
-      var best = 0; var bestD = Double.NegativeInfinity
+      var best = -1; var bestD = Double.NegativeInfinity
       i = 0
-      while (i < n) { if (minDist(i) > bestD) { bestD = minDist(i); best = i }; i += 1 }
+      while (i < n) {
+        if (!isZero(i) && minDist(i) > bestD) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      if (best < 0) { // only zero (or already-seeded) candidates remain
+        i = 0
+        while (i < n) { if (minDist(i) > bestD) { bestD = minDist(i); best = i }; i += 1 }
+      }
+      minDist(best) = Double.NegativeInfinity
       chosen(c + 1) = best
       c += 1
     }

@@ -213,10 +213,16 @@ class VectorLshSpec extends AnyFunSuite {
     val same = VectorIvf.kmeans(Array.fill(5)(v.clone()), k = 3, iters = 3)
     assert(same.length == 3)
     assert(VectorIvf.assign(v.toSeq, same) >= 0)
-    // zero vectors neither crash normalization nor poison centroids
+    // zero vectors neither crash normalization nor poison centroids: a
+    // zero embedding (cosine 0 to everything, itself included) must never
+    // be SEEDED while nonzero candidates remain — otherwise farthest-first
+    // burns cells on directionless duplicates
+    val w = randVec(13, 8)
     val zeros = VectorIvf.kmeans(
-      Array(new Array[Float](8), v, new Array[Float](8)), k = 2, iters = 3)
+      Array(new Array[Float](8), v, new Array[Float](8), w), k = 2, iters = 3)
     assert(zeros.length == 2 && zeros.forall(_.forall(f => !f.isNaN)))
+    assert(zeros.forall(c => c.exists(_ != 0f)),
+      s"with 2 nonzero points and k=2, both centroids must carry direction")
     // single-point sample
     val one = VectorIvf.kmeans(Array(v), k = 4, iters = 2)
     assert(one.length == 1)
