@@ -9,19 +9,39 @@ import graft.sketch.BloomSketch
 /** Benchmark main (driver-run per round → BENCH_r{N}.json; also writes the
   * bare JSON to SPARK_GRAFT_BENCH_OUT and refreshes SPARK_GRAFT_BENCH_MD).
   *
-  * Measurements (every THROUGHPUT column is the best of 3 timed runs, with
-  * a System.gc() + pause before each so heap-pressure carryover between
+  * Budget contract (round-5): the run must fit the driver's wall-clock
+  * window and FAIL OPEN — a run that is killed early still leaves numbers.
+  *  - `bench_out.json` (and a raw stdout JSON line) is flushed after the
+  *    query suite, after EVERY ladder level and after every heal attempt,
+  *    plus from a JVM shutdown hook — a timeout keeps everything measured
+  *    so far instead of nothing (round-4's rc=124 left an empty artifact).
+  *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 1200 s
+  *    measured from main()) is consulted before every optional stage; a
+  *    stage skipped for deadline is recorded in the JSON `skipped` list and
+  *    a heal skipped for deadline is flagged in `self_heal.pairs`.
+  *  - the driver profile is slim: ONE pre-flight probe (the per-pair heal
+  *    still defends every published pair), throughput columns best-of-2,
+  *    the full-text column only at local[32], and the per-query suite
+  *    defaults to a fast headline subset (SPARK_GRAFT_BENCH_QUERIES=
+  *    full|headline|none; CORRECTNESS_r{N} already proves all queries —
+  *    full-suite timing is builder-side evidence).
+  *
+  * Measurements (every THROUGHPUT column is the best of `bestOf` timed
+  * runs — default 2, SPARK_GRAFT_BENCH_BEST_OF to override — with a
+  * System.gc() + pause before each so heap-pressure carryover between
   * runs cannot masquerade as a regression; the native and udaf flagship
-  * variants are measured INTERLEAVED n,u,n,u,n,u so environmental drift
+  * variants are measured INTERLEAVED n,u,n,u so environmental drift
   * within a session hits both equally; per-query wall times are the best
-  * of 2 steady-state runs after a full warmup pass):
-  *  1. per-query wall times of the SparkEntry operator queries at local[32]
+  * of 2 steady-state runs after a warmup pass):
+  *  1. per-query wall times of SparkEntry operator queries at local[32]
   *     on SPARK_GRAFT_SF_DIR, in a DEDICATED session that is stopped before
   *     any throughput run (query plans/caches must not pollute the ladder);
   *  2. the north-rule metric: sketch-build throughput (turns/sec) of the
   *     flagship composite aggregation over the synthetic transcripts table
   *     at five parallelism levels (local[2..32]) — same job, same input,
-  *     N vs 4N cores as the sandbox stand-in for N→4N executors;
+  *     N vs 4N cores as the sandbox stand-in for N→4N executors; the
+  *     OFFICIAL pair (2→8) is measured FIRST so an early kill still
+  *     carries the load-bearing number;
   *  3. a scan-only ladder at the same levels: Spark's vectorized parquet
   *     reader with a trivial consumer — the infrastructure ceiling any job
   *     on this box inherits (user code at zero);
@@ -44,11 +64,6 @@ object Bench {
     val t0 = System.nanoTime()
     val r = f
     (r, (System.nanoTime() - t0) / 1e9)
-  }
-
-  private def best3[A](f: => A): Double = {
-    val (_, s1) = timed(f); val (_, s2) = timed(f); val (_, s3) = timed(f)
-    math.min(s1, math.min(s2, s3))
   }
 
   private def session(cores: Int): SparkSession = {
@@ -133,18 +148,18 @@ object Bench {
   }
 
   /** The SketchJob path (InternalRow map-side full combine + per-partition
-    * checkpoints) — the deliverable spark-submit job's stage 1+2, best of 3
-    * FULL runs with directory setup/teardown OUTSIDE the timed region (a
-    * recursive tmp-dir delete is bench scaffolding, not job work). Returns
-    * (bestEndToEndSec, bestStage1Sec): stage 1 (read from the job's own
-    * `_metrics.json` lineage sidecar) is the only part whose cost grows
-    * with the input — the end-to-end number also carries a fixed serial
-    * tail (checkpoint completeness check, 4-row result + sidecar writes)
-    * that a 100 TB run amortizes to nothing but a 10-second sandbox run
-    * does not, so both scalings are reported.
+    * checkpoints) — the deliverable spark-submit job's stage 1+2, best of
+    * `runs` FULL runs with directory setup/teardown OUTSIDE the timed
+    * region (a recursive tmp-dir delete is bench scaffolding, not job
+    * work). Returns (bestEndToEndSec, bestStage1Sec): stage 1 (read from
+    * the job's own `_metrics.json` lineage sidecar) is the only part whose
+    * cost grows with the input — the end-to-end number also carries a
+    * fixed serial tail (checkpoint completeness check, 4-row result +
+    * sidecar writes) that a 100 TB run amortizes to nothing but a
+    * 10-second sandbox run does not, so both scalings are reported.
     */
-  private def sketchJobBest3(spark: SparkSession, path: String, tag: String)
-      : (Double, Double) = {
+  private def sketchJobBest(spark: SparkSession, path: String, tag: String,
+      runs: Int): (Double, Double) = {
     import graft.jobs.SketchJob
     val base = s"/root/repo/data/bench-job-$tag"
     def rm(p: String): Unit = {
@@ -162,7 +177,7 @@ object Bench {
       cmsWidth = 8192, cmsDepth = 5)
     var bestWall = Double.MaxValue
     var bestS1 = Double.MaxValue
-    (1 to 3).foreach { _ =>
+    (1 to runs).foreach { _ =>
       rm(base) // fresh run every iteration: no checkpoint resume shortcut
       val (rows, sec) = timed {
         // collect the FULL result rows (sketch bytes included) so nothing
@@ -214,7 +229,30 @@ object Bench {
     (maxErr, maxFpr, w, d)
   }
 
+  /** Fast representative subset for the driver profile: sketch aggs +
+    * skew + dedup + ANN, none of the streaming-engine-setup queries (those
+    * stay in the `full` builder profile, where BENCH.md decomposes their
+    * fixed setup cost). Correctness of EVERY query is CORRECTNESS_r{N}'s
+    * job, not the bench's.
+    */
+  private val HeadlineQueries: Set[String] = Set(
+    "q_cms_event_counts", "q_hll_users_per_nation", "q_topk_event_types",
+    "q_tdigest_value_quantiles", "q_kll_value_quantiles",
+    "q_latency_quantiles", "q_salted_agg", "q_dedup_exact",
+    "q_minhash_near_dup", "q_simhash_near_dup", "q_embed_near_dup",
+    "q_ann_lsh_recall", "q_ann_ivf_recall")
+
   def main(args: Array[String]): Unit = {
+    val startNs = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
+    // wall-clock budget measured from main(): the driver's window is
+    // ~30 min including sbt startup; 20 min of measurement keeps the
+    // worst case (one heal + full ladder) inside it. Builder evidence
+    // runs raise this via env.
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+      .map(_.toDouble).getOrElse(1200.0)
+    def leftSec: Double = deadlineSec - elapsedSec
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outJsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     val outMdPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MD", "/root/repo/BENCH.md")
@@ -226,6 +264,12 @@ object Bench {
       .getOrElse(if (sf >= 0.1) 12000000L else math.max(2000L, (1500000 * sf).toLong))
     val dataDir = "/root/repo/data"
     val benchPath = s"$dataDir/transcripts-c$benchConvs"
+    val bestOf = sys.env.get("SPARK_GRAFT_BENCH_BEST_OF").map(_.toInt).getOrElse(2)
+    def bestN[A](f: => A): Double =
+      (1 to bestOf).map(_ => timed(f)._2).min
+    val queriesMode =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) "none"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "headline")
 
     var queries = Map.empty[String, Double]
     var turns = 0L
@@ -239,226 +283,73 @@ object Bench {
     val ftThr = scala.collection.mutable.Map.empty[Int, Double]   // full-text
     var bloomStats = (0.0, 0.0, 0, 0)
     val (sizedW, sizedD) = BloomSketch.sizing(benchConvs.toInt, 0.02)
-
-    // ---- per-query times: dedicated session, stopped before the ladder ----
-    if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
-      val spark = session(32)
-      try {
-        // one untimed pass first: queries are timed at steady state
-        // (codegen + first-planning of the multi-stage plans costs 3-5s
-        // once per JVM and is not what the engine costs per query); then
-        // best of 2 timed runs — a single timed run under a flapping
-        // co-tenant produced ±30% per-query swings round-over-round
-        SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir).collect() }
-        queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val (_, s1) = timed(fn(spark, sfDir).collect())
-          val (_, s2) = timed(fn(spark, sfDir).collect())
-          name -> math.min(s1, s2)
-        }.toMap
-      } finally spark.stop()
-    }
-
-    // ---- throughput ladder: fresh session per level ----
-    def measure(cores: Int, withJob: Boolean, withFullText: Boolean,
-        withAll6: Boolean, withSized: Boolean): Unit = {
-      val spark = session(cores)
-      try {
-        graft.plans.TurnSketchNativeAgg.register(spark, cmsWidth = 8192, cmsDepth = 5)
-        TranscriptGen.ensure(spark, benchPath, benchConvs, hotConvs = 8,
-          hotTurns = 20000, parallelism = 64)
-        // warmup both paths (codegen + classloading), then interleave the
-        // timed runs so drift within the session hits both variants equally
-        turns = sketchBuildNative(spark, benchPath)
-        turnsOf(sketchBuild(spark, benchPath))
-        val nTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-        val uTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-        (1 to 3).foreach { _ =>
-          nTimes += timed(sketchBuildNative(spark, benchPath))._2
-          uTimes += timed(sketchBuild(spark, benchPath))._2
-        }
-        thr(cores) = turns / nTimes.min
-        thrUdaf(cores) = turns / uTimes.min
-        scanOnly(spark, benchPath)
-        scanThr(cores) = turns / best3(scanOnly(spark, benchPath))
-        if (withAll6) {
-          thrAll6(cores) = turns / best3(
-            sketchBuild(spark, benchPath, bloomW = BloomSketch.DefaultBits))
-        }
-        if (withSized) {
-          // keep the membership-stats pass (an extra exact-count scan +
-          // 40k probes) OUT of the timed region: stash the last run's rows
-          var lastRows: Array[org.apache.spark.sql.Row] = null
-          thrSized(cores) = turns / best3 {
-            lastRows = sketchBuild(spark, benchPath, bloomW = sizedW, bloomD = sizedD)
-            lastRows
-          }
-          // the FPR/size stats are parallelism-independent — one pass at 32
-          if (cores == 32) {
-            bloomStats = bloomMembershipStats(lastRows, spark, benchPath, absentProbes = 10000)
-          }
-        }
-        if (withFullText) {
-          ftThr(cores) = turns / best3(sketchBuild(spark, benchPath, fullText = true))
-        }
-        if (withJob) {
-          val (wall, s1) = sketchJobBest3(spark, benchPath, cores.toString)
-          jobThr(cores) = turns / wall
-          jobS1Thr(cores) = turns / s1
-        }
-      } finally spark.stop()
-    }
-
-    // ---- pre-flight box-health gate (BoxProbe wired in): don't start a
-    // 20-minute ladder into a window the gauge already calls contaminated
-    // (three rounds of driver artifacts were hostage to a flapping host
-    // co-tenant). Scaling gauges are meaningless on smoke-sized tables, so
-    // the gate and the self-heal below only engage at bench scale.
-    val benchScale = sys.env.get("SPARK_GRAFT_BENCH_SCALE_OVERRIDE")
-      .map(_.toBoolean).getOrElse(benchConvs >= 1000000L)
-    val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_MAX_RETRIES").map(_.toInt).getOrElse(2)
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val preflightGauges = scala.collection.mutable.ArrayBuffer.empty[Double]
     var preflightRan = false   // distinguishes "passed" from "never ran"
     var preflightClean = true  // meaningful only when preflightRan
-    if (benchScale && !sys.env.contains("SPARK_GRAFT_SKIP_PREFLIGHT")) {
-      preflightRan = true
-      val s0 = session(8)
-      try TranscriptGen.ensure(s0, benchPath, benchConvs, hotConvs = 8,
-        hotTurns = 20000, parallelism = 64)
-      finally s0.stop()
-      var attempt = 0
-      preflightClean = false
-      while (!preflightClean && attempt <= maxRetries) {
-        val (_, _, g) = graft.tools.BoxProbe.gauge(benchPath)
-        preflightGauges += g
-        preflightClean = g >= graft.tools.BoxProbe.CleanThreshold2to8
-        attempt += 1
-        if (!preflightClean && attempt <= maxRetries) Thread.sleep(90000)
-      }
-      // a gate that never saw a clean window still proceeds (the driver
-      // needs an artifact and the per-pair heal below still defends every
-      // reported pair) — but the failure is recorded as a first-class flag,
-      // not left for the reader to infer from the raw gauge list
-      if (!preflightClean) System.err.println(
-        s"[bench] WARNING: pre-flight gate FAILED after ${preflightGauges.size} " +
-          s"probes (gauges ${preflightGauges.map(fmt).mkString(", ")}) — " +
-          "proceeding on a known-contaminated box; treat absolute numbers as suspect")
-    }
+    // pair name -> (chronological gauges, index of kept attempt, deadline-skipped retries)
+    val healLog = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Int, Boolean)]
 
-    def runLevel(c: Int): Unit = c match {
-      case 32 => measure(32, withJob = true, withFullText = true, withAll6 = true, withSized = true)
-      case 16 => measure(16, withJob = true, withFullText = false, withAll6 = false, withSized = false)
-      case 8  => measure(8, withJob = false, withFullText = true, withAll6 = true, withSized = true)
-      case 4  => measure(4, withJob = true, withFullText = false, withAll6 = false, withSized = false)
-      case 2  => measure(2, withJob = false, withFullText = false, withAll6 = false, withSized = true)
-      case _  => ()
-    }
-    Seq(32, 16, 8, 4, 2).foreach(runLevel)
+    val benchScale = sys.env.get("SPARK_GRAFT_BENCH_SCALE_OVERRIDE")
+      .map(_.toBoolean).getOrElse(benchConvs >= 1000000L)
+    val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_MAX_RETRIES").map(_.toInt).getOrElse(2)
 
     def eff(lo: Int, hi: Int, m: scala.collection.Map[Int, Double]): Double =
       if (m.contains(lo) && m.contains(hi)) (m(hi) / m(lo)) / (hi.toDouble / lo) else 0.0
 
-    // ---- self-heal: the scan-only column measured INSIDE a pair's own
-    // windows is its contamination gauge (zero user code — when it
-    // collapses, the box was being shared during those windows, not ours).
-    // A pair whose gauge fails is re-measured — both levels, all columns —
-    // after a pause, up to maxRetries times; the attempt with the best
-    // gauge is kept and every attempt's gauge is recorded in the JSON, so
-    // the committed artifact carries its own evidence trail instead of
-    // leaving clean runs builder-side.
-    val allMaps: Seq[scala.collection.mutable.Map[Int, Double]] =
-      Seq(thr, thrUdaf, thrAll6, thrSized, scanThr, jobThr, jobS1Thr, ftThr)
-    def snapshot(cs: Seq[Int]): Seq[Map[Int, Double]] =
-      allMaps.map(m => cs.flatMap(c => m.get(c).map(c -> _)).toMap)
-    def restore(cs: Seq[Int], snap: Seq[Map[Int, Double]]): Unit =
-      allMaps.zip(snap).foreach { case (m, s) =>
-        cs.foreach { c =>
-          s.get(c) match { case Some(v) => m(c) = v; case None => m.remove(c) }
-        }
-      }
-    // pair name -> (chronological gauges, index of the kept attempt)
-    val healLog = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Int)]
-    def heal(lo: Int, hi: Int, name: String, threshold: Double): Unit = {
-      if (!benchScale) return
-      var attempts = List((eff(lo, hi, scanThr), snapshot(Seq(lo, hi))))
-      var tries = 0
-      while (attempts.head._1 < threshold && tries < maxRetries) {
-        Thread.sleep(60000) // give a flapping co-tenant a chance to clear
-        runLevel(lo); runLevel(hi)
-        attempts = (eff(lo, hi, scanThr), snapshot(Seq(lo, hi))) :: attempts
-        tries += 1
-      }
-      val ordered = attempts.reverse
-      val bestIdx = ordered.indices.maxBy(i => ordered(i)._1)
-      restore(Seq(lo, hi), ordered(bestIdx)._2)
-      healLog(name) = (ordered.map(_._1), bestIdx)
-    }
-    // official pair first (its threshold is the BoxProbe clean floor), then
-    // the job pair (4→16 sits partly past the DRAM knee: clean history
-    // 0.72–0.83, contaminated 0.27 — gate at 0.60)
-    heal(2, 8, "pair_2_8", graft.tools.BoxProbe.CleanThreshold2to8)
-    heal(4, 16, "pair_4_16", 0.60)
-    // metrics that span a re-measured level AND an untouched one were
-    // computed across different time windows — disclose them instead of
-    // letting a clean-window numerator silently divide a contaminated-
-    // window denominator (all are saturated/secondary pairs; the gauged
-    // pairs themselves are always single-window by construction)
-    val mixedWindowMetrics: Seq[String] = {
-      // a pair is cross-window only when a RE-MEASUREMENT was KEPT
-      // (chosen > 0) — if every retry gauged worse and the original
-      // attempt was restored, all published numbers still come from the
-      // single original ladder pass
+    // ---- JSON builder + incremental flush: every stage boundary writes the
+    // full artifact (file AND a raw stdout line) so a timeout or SIGKILL
+    // leaves everything measured so far — round-4's rc=124 left nothing.
+    def buildJson(stage: String): String = {
+      val eff2to8 = eff(2, 8, thr)
+      val eff4to16 = eff(4, 16, thr)
+      val eff8to32 = eff(8, 32, thr)
+      val scan2to8 = eff(2, 8, scanThr)
+      val scan4to16 = eff(4, 16, scanThr)
+      val scan8to32 = eff(8, 32, scanThr)
+      val jobEff4to16 = eff(4, 16, jobThr)
+      val jobS1Eff4to16 = eff(4, 16, jobS1Thr)
+      val all6eff8to32 = eff(8, 32, thrAll6)
+      val sized2to8 = eff(2, 8, thrSized)
+      // log-log fitted N→4N over the in-envelope levels as a noise-robust
+      // secondary number: efficiency = 4^(b-1) for fitted exponent b
+      val fitLevels = Seq(2, 4, 8, 16).filter(thr.contains)
+      val fittedEff: Double = if (fitLevels.size >= 2) {
+        val xs = fitLevels.map(c => math.log(c.toDouble))
+        val ys = fitLevels.map(c => math.log(thr(c)))
+        val mx = xs.sum / xs.size
+        val my = ys.sum / ys.size
+        val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+          xs.map(x => (x - mx) * (x - mx)).sum
+        math.pow(4.0, b - 1.0)
+      } else 0.0
+      // metrics that span a re-measured level AND an untouched one were
+      // computed across different time windows — disclose them instead of
+      // letting a clean-window numerator silently divide a contaminated-
+      // window denominator (all are saturated/secondary pairs; the gauged
+      // pairs themselves are always single-window by construction). A pair
+      // is cross-window only when a RE-MEASUREMENT was KEPT (chosen > 0).
       val remeasured = scala.collection.mutable.Set.empty[Int]
       if (healLog.get("pair_2_8").exists(_._2 > 0)) remeasured ++= Seq(2, 8)
       if (healLog.get("pair_4_16").exists(_._2 > 0)) remeasured ++= Seq(4, 16)
       def mixed(levels: Int*): Boolean =
         levels.exists(remeasured.contains) && !levels.forall(remeasured.contains)
-      Seq(
+      val mixedWindowMetrics: Seq[String] = Seq(
         "flagship_8_to_32" -> mixed(8, 32), "scan_only_8_to_32" -> mixed(8, 32),
         "all6_8_to_32" -> mixed(8, 32),
-        // the fitted exponent spans levels from BOTH gauged pairs, so any
-        // re-measurement leaves it crossing windows
         "flagship_fitted_2_to_16" -> remeasured.nonEmpty)
         .collect { case (name, true) => name }
-    }
-
-    // OFFICIAL N→4N pair: local[2] → local[8]. Both levels sit inside the
-    // single box's memory-bandwidth envelope, emulating executors that each
-    // bring their own memory system (the scan-only ladder shows the reader
-    // alone saturates DRAM beyond ~12 cores — see BENCH.md). The saturated
-    // pairs are reported right below for transparency.
-    val eff2to8 = eff(2, 8, thr)
-    val eff4to16 = eff(4, 16, thr)
-    val eff8to32 = eff(8, 32, thr)
-    val scan2to8 = eff(2, 8, scanThr)
-    val scan4to16 = eff(4, 16, scanThr)
-    val scan8to32 = eff(8, 32, scanThr)
-    val jobEff4to16 = eff(4, 16, jobThr)
-    val jobS1Eff4to16 = eff(4, 16, jobS1Thr)
-    val all6eff8to32 = eff(8, 32, thrAll6)
-    val sized2to8 = eff(2, 8, thrSized)
-
-    // log-log fitted N→4N over the in-envelope levels as a noise-robust
-    // secondary number: efficiency = 4^(b-1) for fitted exponent b
-    val fitLevels = Seq(2, 4, 8, 16).filter(thr.contains)
-    val fittedEff: Double = if (fitLevels.size >= 2) {
-      val xs = fitLevels.map(c => math.log(c.toDouble))
-      val ys = fitLevels.map(c => math.log(thr(c)))
-      val mx = xs.sum / xs.size
-      val my = ys.sum / ys.size
-      val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-        xs.map(x => (x - mx) * (x - mx)).sum
-      math.pow(4.0, b - 1.0)
-    } else 0.0
-
-    val qJson = queries.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = queries.values.sum
-    def thrJson(m: scala.collection.Map[Int, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (c, v) => s"\"local$c\":${fmt(v)}" }
-        .mkString("{", ",", "}")
-    val json =
+      val qJson = queries.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val total = queries.values.sum
+      def thrJson(m: scala.collection.Map[Int, Double]): String =
+        m.toSeq.sortBy(_._1).map { case (c, v) => s"\"local$c\":${fmt(v)}" }
+          .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,""" +
-        s""""sf":"$sfDir","bench_turns":$turns,"best_of":3,"queries_best_of":2,""" +
+        s""""sf":"$sfDir","bench_turns":$turns,"best_of":$bestOf,"queries_best_of":2,""" +
+        s""""queries_mode":"$queriesMode","stage":"$stage",""" +
+        s""""elapsed_sec":${fmt(elapsedSec)},"deadline_sec":${fmt(deadlineSec)},""" +
+        s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""sketch_build_turns_per_sec":${thrJson(thr)},""" +
         s""""sketch_build_udaf_turns_per_sec":${thrJson(thrUdaf)},""" +
         s""""scan_only_turns_per_sec":${thrJson(scanThr)},""" +
@@ -489,15 +380,238 @@ object Bench {
         s""""mixed_window_metrics":${
           mixedWindowMetrics.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""pairs":{""" +
-        healLog.map { case (name, (gauges, chosen)) =>
-          s""""$name":{"gauges":${gauges.map(fmt).mkString("[", ",", "]")},"chosen":$chosen}"""
+        healLog.map { case (name, (gauges, chosen, dlSkip)) =>
+          s""""$name":{"gauges":${gauges.map(fmt).mkString("[", ",", "]")},""" +
+            s""""chosen":$chosen,"deadline_skipped":$dlSkip}"""
         }.mkString(",") +
         s"}}}"
-    // machine-parseable copy FIRST (the println below is also raw on stdout
-    // now that build.sbt sets run/outputStrategy := StdoutOutput)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outJsonPath), json + "\n")
-    catch { case e: java.io.IOException => System.err.println(s"bench_out write failed: $e") }
-    println(json)
+    }
+    def flush(stage: String): Unit = {
+      val json = buildJson(stage)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outJsonPath), json + "\n")
+      catch { case e: java.io.IOException => System.err.println(s"bench_out write failed: $e") }
+      // raw on stdout too (build.sbt sets run/outputStrategy := StdoutOutput):
+      // if the process is killed later, the driver's captured stdout tail
+      // still ends with the last complete artifact line
+      println(json)
+    }
+    // a SIGTERM'd/timed-out run writes whatever is measured at that instant
+    // (maps may be mid-update during a level; the JSON stays parseable)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outJsonPath), buildJson("shutdown_hook") + "\n")
+      catch { case _: Throwable => () }
+    }))
+
+    // ---- bench table first (its own right-sized session — generating
+    // inside a local[2] ladder session would serialize the bulk write)
+    locally {
+      val s0 = session(16)
+      try TranscriptGen.ensure(s0, benchPath, benchConvs, hotConvs = 8,
+        hotTurns = 20000, parallelism = 64)
+      finally s0.stop()
+    }
+
+    // ---- per-query times: dedicated session, stopped before the ladder ----
+    if (queriesMode != "none" && leftSec > 150) {
+      val spark = session(32)
+      try {
+        val sel = SparkEntry.queries.filter { case (name, _) =>
+          queriesMode == "full" || HeadlineQueries.contains(name) }
+        // one untimed pass first: queries are timed at steady state
+        // (codegen + first-planning of the multi-stage plans costs 3-5s
+        // once per JVM and is not what the engine costs per query); then
+        // best of 2 timed runs — a single timed run under a flapping
+        // co-tenant produced ±30% per-query swings round-over-round
+        sel.foreach { case (_, fn) => fn(spark, sfDir).collect() }
+        queries = sel.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val (_, s1) = timed(fn(spark, sfDir).collect())
+          val (_, s2) = timed(fn(spark, sfDir).collect())
+          name -> math.min(s1, s2)
+        }.toMap
+      } finally spark.stop()
+    } else if (queriesMode != "none") skipped += "queries:deadline"
+    flush("queries")
+
+    // ---- throughput ladder: fresh session per level ----
+    def measure(cores: Int, withJob: Boolean, withFullText: Boolean,
+        withAll6: Boolean, withSized: Boolean): Unit = {
+      val spark = session(cores)
+      try {
+        graft.plans.TurnSketchNativeAgg.register(spark, cmsWidth = 8192, cmsDepth = 5)
+        TranscriptGen.ensure(spark, benchPath, benchConvs, hotConvs = 8,
+          hotTurns = 20000, parallelism = 64)
+        // warmup both paths (codegen + classloading), then interleave the
+        // timed runs so drift within the session hits both variants equally
+        turns = sketchBuildNative(spark, benchPath)
+        turnsOf(sketchBuild(spark, benchPath))
+        val nTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val uTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+        (1 to bestOf).foreach { _ =>
+          nTimes += timed(sketchBuildNative(spark, benchPath))._2
+          uTimes += timed(sketchBuild(spark, benchPath))._2
+        }
+        thr(cores) = turns / nTimes.min
+        thrUdaf(cores) = turns / uTimes.min
+        scanOnly(spark, benchPath)
+        scanThr(cores) = turns / bestN(scanOnly(spark, benchPath))
+        if (withAll6) {
+          if (leftSec < 45) skipped += s"all6:local$cores:deadline"
+          else thrAll6(cores) = turns / bestN(
+            sketchBuild(spark, benchPath, bloomW = BloomSketch.DefaultBits))
+        }
+        if (withSized) {
+          // keep the membership-stats pass (an extra exact-count scan +
+          // 40k probes) OUT of the timed region: stash the last run's rows
+          var lastRows: Array[org.apache.spark.sql.Row] = null
+          thrSized(cores) = turns / bestN {
+            lastRows = sketchBuild(spark, benchPath, bloomW = sizedW, bloomD = sizedD)
+            lastRows
+          }
+          // the FPR/size stats are parallelism-independent — one pass at 32
+          if (cores == 32) {
+            bloomStats = bloomMembershipStats(lastRows, spark, benchPath, absentProbes = 10000)
+          }
+        }
+        if (withFullText) {
+          if (leftSec < 45) skipped += s"fulltext:local$cores:deadline"
+          else ftThr(cores) = turns / bestN(sketchBuild(spark, benchPath, fullText = true))
+        }
+        if (withJob) {
+          if (leftSec < 60) skipped += s"job:local$cores:deadline"
+          else {
+            val (wall, s1) = sketchJobBest(spark, benchPath, cores.toString, runs = bestOf)
+            jobThr(cores) = turns / wall
+            jobS1Thr(cores) = turns / s1
+          }
+        }
+      } finally spark.stop()
+    }
+
+    // ---- pre-flight box-health gate, slimmed to ONE probe: don't start the
+    // ladder blind into a window the gauge already calls contaminated, but
+    // never spend the driver's budget waiting for a clean one — the
+    // per-pair heal below defends every published pair anyway. (Three
+    // rounds of driver artifacts were hostage to a flapping host co-tenant;
+    // round 4's multi-probe wait then blew the budget itself.) Scaling
+    // gauges are meaningless on smoke-sized tables, so the gate and the
+    // self-heal only engage at bench scale.
+    if (benchScale && !sys.env.contains("SPARK_GRAFT_SKIP_PREFLIGHT") && leftSec > 240) {
+      preflightRan = true
+      val (_, _, g) = graft.tools.BoxProbe.gauge(benchPath)
+      preflightGauges += g
+      preflightClean = g >= graft.tools.BoxProbe.CleanThreshold2to8
+      if (!preflightClean) System.err.println(
+        s"[bench] WARNING: pre-flight probe dirty (gauge ${fmt(g)}) — " +
+          "proceeding (per-pair heal defends published pairs); absolute " +
+          "numbers from unhealed windows are suspect")
+    }
+    flush("preflight")
+
+    def runLevel(c: Int): Unit = c match {
+      case 32 => measure(32, withJob = true, withFullText = true, withAll6 = true, withSized = true)
+      case 16 => measure(16, withJob = true, withFullText = false, withAll6 = false, withSized = false)
+      case 8  => measure(8, withJob = false, withFullText = false, withAll6 = true, withSized = true)
+      case 4  => measure(4, withJob = true, withFullText = false, withAll6 = false, withSized = false)
+      case 2  => measure(2, withJob = false, withFullText = false, withAll6 = false, withSized = true)
+      case _  => ()
+    }
+
+    // ---- self-heal: the scan-only column measured INSIDE a pair's own
+    // windows is its contamination gauge (zero user code — when it
+    // collapses, the box was being shared during those windows, not ours).
+    // A pair whose gauge fails is re-measured — both levels, all columns —
+    // after a pause, up to maxRetries times IF the deadline allows (a heal
+    // skipped for deadline is flagged in the JSON rather than silently
+    // absent); the attempt with the best gauge is kept and every attempt's
+    // gauge is recorded, so the committed artifact carries its own
+    // evidence trail instead of leaving clean runs builder-side.
+    val allMaps: Seq[scala.collection.mutable.Map[Int, Double]] =
+      Seq(thr, thrUdaf, thrAll6, thrSized, scanThr, jobThr, jobS1Thr, ftThr)
+    def snapshot(cs: Seq[Int]): Seq[Map[Int, Double]] =
+      allMaps.map(m => cs.flatMap(c => m.get(c).map(c -> _)).toMap)
+    def restore(cs: Seq[Int], snap: Seq[Map[Int, Double]]): Unit =
+      allMaps.zip(snap).foreach { case (m, s) =>
+        cs.foreach { c =>
+          s.get(c) match { case Some(v) => m(c) = v; case None => m.remove(c) }
+        }
+      }
+    def heal(lo: Int, hi: Int, name: String, threshold: Double,
+        costEstimateSec: Double): Unit = {
+      if (!benchScale) return
+      var attempts = List((eff(lo, hi, scanThr), snapshot(Seq(lo, hi))))
+      var tries = 0
+      var dlSkipped = false
+      while (attempts.head._1 < threshold && tries < maxRetries && !dlSkipped) {
+        if (leftSec < costEstimateSec + 60) {
+          dlSkipped = true // a retry we WOULD have run, skipped for budget
+        } else {
+          Thread.sleep(60000) // give a flapping co-tenant a chance to clear
+          runLevel(lo); runLevel(hi)
+          attempts = (eff(lo, hi, scanThr), snapshot(Seq(lo, hi))) :: attempts
+          tries += 1
+        }
+      }
+      val ordered = attempts.reverse
+      val bestIdx = ordered.indices.maxBy(i => ordered(i)._1)
+      restore(Seq(lo, hi), ordered(bestIdx)._2)
+      healLog(name) = (ordered.map(_._1), bestIdx, dlSkipped)
+      flush(s"heal_$name")
+    }
+
+    // official pair FIRST — an early kill still carries the load-bearing
+    // number — then its heal, then the job pair, then the saturated level.
+    Seq(2, 8).foreach { c =>
+      if (leftSec > 30) { runLevel(c); flush(s"level_$c") }
+      else skipped += s"level$c:deadline"
+    }
+    // official pair threshold = the BoxProbe clean floor; the job pair
+    // (4→16) sits partly past the DRAM knee: clean history 0.72–0.83,
+    // contaminated 0.27 — gate at 0.60. Cost estimates are conservative
+    // single-attempt wall times for re-running both levels.
+    heal(2, 8, "pair_2_8", graft.tools.BoxProbe.CleanThreshold2to8, costEstimateSec = 420)
+    Seq(4, 16).foreach { c =>
+      if (leftSec > 90) { runLevel(c); flush(s"level_$c") }
+      else skipped += s"level$c:deadline"
+    }
+    heal(4, 16, "pair_4_16", 0.60, costEstimateSec = 360)
+    if (leftSec > 60) { runLevel(32); flush("level_32") }
+    else skipped += "level32:deadline"
+    flush("final")
+
+    val eff2to8 = eff(2, 8, thr)
+    val eff4to16 = eff(4, 16, thr)
+    val eff8to32 = eff(8, 32, thr)
+    val scan2to8 = eff(2, 8, scanThr)
+    val scan4to16 = eff(4, 16, scanThr)
+    val scan8to32 = eff(8, 32, scanThr)
+    val jobEff4to16 = eff(4, 16, jobThr)
+    val jobS1Eff4to16 = eff(4, 16, jobS1Thr)
+    val all6eff8to32 = eff(8, 32, thrAll6)
+    val sized2to8 = eff(2, 8, thrSized)
+    val fittedEff: Double = {
+      val fitLevels = Seq(2, 4, 8, 16).filter(thr.contains)
+      if (fitLevels.size >= 2) {
+        val xs = fitLevels.map(c => math.log(c.toDouble))
+        val ys = fitLevels.map(c => math.log(thr(c)))
+        val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+        val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+          xs.map(x => (x - mx) * (x - mx)).sum
+        math.pow(4.0, b - 1.0)
+      } else 0.0
+    }
+    val mixedWindowMetrics: Seq[String] = {
+      val remeasured = scala.collection.mutable.Set.empty[Int]
+      if (healLog.get("pair_2_8").exists(_._2 > 0)) remeasured ++= Seq(2, 8)
+      if (healLog.get("pair_4_16").exists(_._2 > 0)) remeasured ++= Seq(4, 16)
+      def mixed(levels: Int*): Boolean =
+        levels.exists(remeasured.contains) && !levels.forall(remeasured.contains)
+      Seq(
+        "flagship_8_to_32" -> mixed(8, 32), "scan_only_8_to_32" -> mixed(8, 32),
+        "all6_8_to_32" -> mixed(8, 32),
+        "flagship_fitted_2_to_16" -> remeasured.nonEmpty)
+        .collect { case (name, true) => name }
+    }
 
     // refresh the BENCH.md evidence file — every claim below is conditioned
     // on the measured values of THIS run
@@ -547,9 +661,9 @@ object Bench {
         val pre =
           if (preflightGauges.isEmpty) "pre-flight skipped"
           else if (!preflightClean)
-            s"**pre-flight gate FAILED** (gauges ${preflightGauges.map(fmt).mkString(", ")} " +
-              "— no clean window found; the ladder ran on a known-contaminated box)"
-          else s"pre-flight BoxProbe gauge(s) ${preflightGauges.map(fmt).mkString(", ")}"
+            s"**pre-flight probe dirty** (gauge ${preflightGauges.map(fmt).mkString(", ")} " +
+              "— the ladder ran anyway; published pairs are defended by the per-pair heal)"
+          else s"pre-flight BoxProbe gauge ${preflightGauges.map(fmt).mkString(", ")}"
         val mixed =
           if (mixedWindowMetrics.isEmpty) ""
           else s" Cross-window metrics after re-measurement (numerator and " +
@@ -557,17 +671,42 @@ object Bench {
             s"pairs only): ${mixedWindowMetrics.mkString(", ")}."
         val pairs =
           if (healLog.isEmpty) "no pair-level heal ran (smoke mode)"
-          else healLog.map { case (name, (gauges, chosen)) =>
-            val tail = if (gauges.size > 1)
-              s" (${gauges.size - 1} re-measurement(s), attempt ${chosen + 1} kept)"
-            else " (clean first try)"
+          else healLog.map { case (name, (gauges, chosen, dlSkip)) =>
+            val tail =
+              if (dlSkip) s" (re-measurement budget exhausted by the deadline after " +
+                s"${gauges.size} attempt(s); attempt ${chosen + 1} kept)"
+              else if (gauges.size > 1)
+                s" (${gauges.size - 1} re-measurement(s), attempt ${chosen + 1} kept)"
+              else " (clean first try)"
             s"$name gauges ${gauges.map(fmt).mkString(" → ")}$tail"
           }.mkString("; ")
+        val budget =
+          s" Wall-clock budget: ${fmt(elapsedSec)} s of ${fmt(deadlineSec)} s used" +
+            (if (skipped.isEmpty) ", nothing skipped."
+             else s"; skipped for budget: ${skipped.mkString(", ")}.")
         s"""Self-healing protocol: $pre; $pairs. A pair whose own in-window
            |scan-only gauge fails its clean floor (2→8: ≥ 0.78, 4→16:
            |≥ 0.60) is re-measured — both levels, every column — after a
-           |pause, up to $maxRetries times; the best-gauge attempt is kept
-           |and the full gauge trail is in `bench_out.json` `self_heal`.$mixed""".stripMargin
+           |pause, up to $maxRetries times while the deadline allows; the
+           |best-gauge attempt is kept and the full gauge trail is in
+           |`bench_out.json` `self_heal`. The artifact is flushed to disk
+           |and stdout after every stage, so even a killed run carries its
+           |measurements.$mixed$budget""".stripMargin
+      }
+      val queriesNote = queriesMode match {
+        case "full" =>
+          "Per-query times cover the FULL suite (builder evidence profile). " +
+            "The two streaming queries carry a fixed engine-setup cost " +
+            "(stream staging, state-store init per micro-batch) that " +
+            "dominates their verify-scale wall time; CORRECTNESS proves " +
+            "their semantics, the numbers here bound the setup overhead."
+        case "headline" =>
+          s"Per-query times cover the ${HeadlineQueries.size}-query headline " +
+            "subset (driver profile; sketch aggs + skew + dedup + ANN). " +
+            "CORRECTNESS_r{N} proves every query; full-suite timing incl. " +
+            "the streaming queries is builder-side evidence " +
+            "(SPARK_GRAFT_BENCH_QUERIES=full)."
+        case _ => "Per-query timing skipped in this profile."
       }
       val md =
         s"""# BENCH — measured on this machine (32 physical cores, 1 socket, 1 NUMA node, local mode)
@@ -581,10 +720,13 @@ object Bench {
            |The Aggregator/udaf() variant (binary-cast ids) is reported
            |alongside; sketch states are byte-identical across both paths.
            |
-           |**Every throughput column is best of 3 timed runs** (GC-normalized
+           |**Every throughput column is best of $bestOf timed runs** (GC-normalized
            |between runs); the native/udaf pair is measured interleaved within
            |each session so drift hits both equally. Per-query times are the best
-           |of 2 steady-state runs after a full warmup pass.
+           |of 2 steady-state runs after a warmup pass. The official pair is
+           |measured FIRST and the artifact is flushed after every stage — a
+           |run that hits the driver's wall-clock limit still reports
+           |everything measured up to the kill.
            |
            |## Official scaling pair (N → 4N, same job, same input)
            |
@@ -630,11 +772,14 @@ object Bench {
            |${fmt(eff2to8)}). The saturated pairs are reported above, not
            |hidden. $flagshipVsScan
            |
-           |## Ladder (turns/s, each cell best of 3)
+           |## Ladder (turns/s, each cell best of $bestOf)
            |
            || cores | flagship (native) | udaf variant | scan-only | all-6 legacy | bloom-sized | SketchJob | full-text |
            || --- | --- | --- | --- | --- | --- | --- | --- |
            |TABLE_GOES_HERE
+           |
+           |(The full-text column runs only at local[32] in the budget-fit
+           |profile — it is a read-width comparison, not a scaling pair.)
            |
            |## Capacity-sized membership job (bloom-sized column)
            |
@@ -665,7 +810,8 @@ object Bench {
            |- SketchJob stage 1 reads InternalRows off the physical plan and
            |  hashes UTF8String memory in place (zero per-row allocation).
            |
-           |Per-query times (sf dir `$sfDir`): see BENCH_r{N}.json `queries`.
+           |$queriesNote
+           |Per-query times (sf dir `$sfDir`): see BENCH_r{N}.json / bench_out.json `queries`.
            |""".stripMargin.replace("TABLE_GOES_HERE", table)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outMdPath), md)
     } catch { case e: java.io.IOException => System.err.println(s"BENCH.md write failed: $e") }
