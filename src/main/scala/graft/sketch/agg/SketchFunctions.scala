@@ -31,8 +31,11 @@ case class SketchConfig(
 /** Column-API handles + one-call SQL registration for every sketch UDAF and
   * query UDF (SURVEY.md §2.3/§2.4 — the complete operator surface).
   */
-class SketchFunctions(cfg: SketchConfig) extends Serializable {
+class SketchFunctions(val config: SketchConfig) extends Serializable {
   import SketchAggs._
+  // short internal alias (the public `config` lets call sites read the
+  // regime bounds they must enforce, e.g. q_salted_agg's kllK gate)
+  private def cfg: SketchConfig = config
 
   // ---- aggregation UDAFs ----
   val bloomAgg: UserDefinedFunction = udaf(new BloomAgg(cfg.bloomWidth, cfg.bloomDepth))
