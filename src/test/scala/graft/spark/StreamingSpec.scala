@@ -348,4 +348,94 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"accuracy for $role: $d vs ${exact(role)}")
     }
   }
+
+  test("sessionize: stop after >=2 micro-batches, restart from checkpoint, " +
+      "emitted set == uninterrupted run (incl. a session spanning the restart)") {
+    import graft.streaming.TranscriptStream
+    import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
+    import org.apache.spark.sql.streaming.Trigger
+    val sp = spark
+    import sp.implicits._
+    val base = 1735689600000L
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(base + min * 60000L)
+    // four time-ordered chunk files (every event in chunk i+1 is newer than
+    // all of chunks <= i, like the driver replay staging). Session A(10,11)
+    // SPANS the chunk-1/2 boundary — exactly where the stream is stopped —
+    // so its first half must survive the stop inside the checkpointed
+    // state store. Z(120) stays pending forever (final wm = 118) in BOTH
+    // runs, proving unsealed state is not flushed by a restart either.
+    val chunks: Seq[Seq[TurnEvent]] = Seq(
+      Seq(TurnEvent("A", "user", 10.0, ts(0)), TurnEvent("A", "assistant", 30.0, ts(1)),
+        TurnEvent("B", "user", 5.0, ts(1))),
+      Seq(TurnEvent("A", "user", 7.0, ts(10)), TurnEvent("C", "user", 3.0, ts(10))),
+      Seq(TurnEvent("A", "user", 9.0, ts(11)), TurnEvent("B", "user", 4.0, ts(11))),
+      Seq(TurnEvent("Z", "user", 1.0, ts(60)), TurnEvent("Z", "user", 2.0, ts(120))))
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-restart").toFile
+    val schema = org.apache.spark.sql.Encoders.product[TurnEvent].schema
+    def addChunk(dir: java.io.File, i: Int): Unit = {
+      dir.mkdirs()
+      val tmp = new java.io.File(root, s"tmp-$i")
+      sp.createDataset(chunks(i)).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"chunk-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(base + i * 1000L) // ascending mtimes = source order
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    // one run segment: AvailableNow over whatever chunk files exist,
+    // 1 file per micro-batch; IDENTICAL plan every time (restart contract)
+    def runStream(src: java.io.File, ckpt: String, out: String)
+        : org.apache.spark.sql.streaming.StreamingQuery = {
+      val in = sp.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src.getPath).as[TurnEvent]
+      val q = TranscriptStream.sessionize(in, gapSeconds = 120)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q
+    }
+    def readOut(out: String): Set[SessionSummary] =
+      sp.read.parquet(out).as[SessionSummary].collect().toSet
+
+    // interrupted run: chunks 0-1, stop, add 2-3, restart SAME checkpoint
+    val srcInt = new java.io.File(root, "src-int")
+    val ckptInt = new java.io.File(root, "ckpt-int").getPath
+    val outInt = new java.io.File(root, "out-int").getPath
+    Seq(0, 1).foreach(addChunk(srcInt, _))
+    val q1 = runStream(srcInt, ckptInt, outInt)
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+      "first segment must process >= 2 data micro-batches before the stop")
+    val afterStop = readOut(outInt)
+    // wm after segment 1 = 10min - gap = 8min: A(0,1) and B(1) sealed;
+    // A(10) and C(10) pending in the state store
+    assert(afterStop.exists(s => s.conv_id == "A" && s.turns == 2),
+      s"A(0,1) sealed before the stop, got $afterStop")
+    assert(!afterStop.exists(s => s.first_ts_ms >= ts(10).getTime),
+      s"nothing at/after min 10 may be sealed at wm=8min, got $afterStop")
+    Seq(2, 3).foreach(addChunk(srcInt, _))
+    runStream(srcInt, ckptInt, outInt) // restart from checkpointLocation
+    val restarted = readOut(outInt)
+
+    // uninterrupted reference: all four chunks, fresh checkpoint
+    val srcRef = new java.io.File(root, "src-ref")
+    (0 to 3).foreach(addChunk(srcRef, _))
+    val refOut = new java.io.File(root, "out-ref").getPath
+    runStream(srcRef, new java.io.File(root, "ckpt-ref").getPath, refOut)
+    val reference = readOut(refOut)
+
+    assert(restarted == reference,
+      s"restarted emitted set != uninterrupted run:\n  restarted=$restarted\n  reference=$reference")
+    // the boundary-spanning session was emitted ONLY after the restart —
+    // its pre-stop half came back out of the checkpointed state store
+    val boundary = restarted.filter(s =>
+      s.conv_id == "A" && s.first_ts_ms == ts(10).getTime)
+    assert(boundary.size == 1 && boundary.head.turns == 2 &&
+      boundary.head.duration_ms == 60000L && boundary.head.len_max == 9.0,
+      s"A(10,11) session wrong: $boundary")
+    assert(!afterStop.exists(_.first_ts_ms == ts(10).getTime),
+      "the boundary session must not exist before the restart")
+    // Z(120) pending in both runs: final watermark 118 < seal point 122
+    assert(!reference.exists(s => s.conv_id == "Z" && s.first_ts_ms == ts(120).getTime))
+  }
 }
