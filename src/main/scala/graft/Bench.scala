@@ -245,12 +245,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val startNs = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
+    // two measurement profiles (SPARK_GRAFT_BENCH_PROFILE):
+    //  - "driver" (default): fits the driver's ~30-min window INCLUDING one
+    //    official-pair heal. Measured base cost ~14 min at 12M convs; the
+    //    trims vs full are the udaf comparison column at local[2]/[4]
+    //    (~3 min — the slowest sessions), the legacy all-6 column, the
+    //    SketchJob run at local[32] and the sized column at local[32]
+    //    (membership stats move to local[8]). Every PUBLISHED pair
+    //    (official 2→8, sized 2→8, job 4→16, scan ladder, flagship
+    //    saturated pairs) is still measured.
+    //  - "full": the builder evidence profile — every column at every
+    //    historical level, best-of-3, full query suite, 60-min deadline.
+    val profile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "driver")
+    val isFull = profile == "full"
     // wall-clock budget measured from main(): the driver's window is
-    // ~30 min including sbt startup; 20 min of measurement keeps the
-    // worst case (one heal + full ladder) inside it. Builder evidence
-    // runs raise this via env.
+    // ~30 min including sbt startup (round 3's 24-min run fit; round 4's
+    // 35-50 min did not); 25 min of measurement + ~2 min sbt keeps the
+    // worst case (base ladder + one official-pair heal) inside it.
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
-      .map(_.toDouble).getOrElse(1200.0)
+      .map(_.toDouble).getOrElse(if (isFull) 3600.0 else 1500.0)
     def leftSec: Double = deadlineSec - elapsedSec
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -264,12 +277,17 @@ object Bench {
       .getOrElse(if (sf >= 0.1) 12000000L else math.max(2000L, (1500000 * sf).toLong))
     val dataDir = "/root/repo/data"
     val benchPath = s"$dataDir/transcripts-c$benchConvs"
-    val bestOf = sys.env.get("SPARK_GRAFT_BENCH_BEST_OF").map(_.toInt).getOrElse(2)
+    val bestOf = sys.env.get("SPARK_GRAFT_BENCH_BEST_OF").map(_.toInt)
+      .getOrElse(if (isFull) 3 else 2)
     def bestN[A](f: => A): Double =
       (1 to bestOf).map(_ => timed(f)._2).min
     val queriesMode =
       if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) "none"
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "headline")
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES",
+        if (isFull) "full" else "headline")
+    // membership stats (FPR/size, parallelism-independent) ride the largest
+    // sized-column level the profile measures
+    val statsLevel = if (isFull) 32 else 8
 
     var queries = Map.empty[String, Double]
     var turns = 0L
@@ -347,7 +365,7 @@ object Bench {
           .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","bench_turns":$turns,"best_of":$bestOf,"queries_best_of":2,""" +
-        s""""queries_mode":"$queriesMode","stage":"$stage",""" +
+        s""""queries_mode":"$queriesMode","profile":"$profile","stage":"$stage",""" +
         s""""elapsed_sec":${fmt(elapsedSec)},"deadline_sec":${fmt(deadlineSec)},""" +
         s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""sketch_build_turns_per_sec":${thrJson(thr)},""" +
@@ -435,7 +453,7 @@ object Bench {
 
     // ---- throughput ladder: fresh session per level ----
     def measure(cores: Int, withJob: Boolean, withFullText: Boolean,
-        withAll6: Boolean, withSized: Boolean): Unit = {
+        withAll6: Boolean, withSized: Boolean, withUdaf: Boolean): Unit = {
       val spark = session(cores)
       try {
         graft.plans.TurnSketchNativeAgg.register(spark, cmsWidth = 8192, cmsDepth = 5)
@@ -444,15 +462,15 @@ object Bench {
         // warmup both paths (codegen + classloading), then interleave the
         // timed runs so drift within the session hits both variants equally
         turns = sketchBuildNative(spark, benchPath)
-        turnsOf(sketchBuild(spark, benchPath))
+        if (withUdaf) turnsOf(sketchBuild(spark, benchPath))
         val nTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
         val uTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
         (1 to bestOf).foreach { _ =>
           nTimes += timed(sketchBuildNative(spark, benchPath))._2
-          uTimes += timed(sketchBuild(spark, benchPath))._2
+          if (withUdaf) uTimes += timed(sketchBuild(spark, benchPath))._2
         }
         thr(cores) = turns / nTimes.min
-        thrUdaf(cores) = turns / uTimes.min
+        if (withUdaf) thrUdaf(cores) = turns / uTimes.min
         scanOnly(spark, benchPath)
         scanThr(cores) = turns / bestN(scanOnly(spark, benchPath))
         if (withAll6) {
@@ -468,8 +486,9 @@ object Bench {
             lastRows = sketchBuild(spark, benchPath, bloomW = sizedW, bloomD = sizedD)
             lastRows
           }
-          // the FPR/size stats are parallelism-independent — one pass at 32
-          if (cores == 32) {
+          // the FPR/size stats are parallelism-independent — one pass at the
+          // profile's largest sized level
+          if (cores == statsLevel) {
             bloomStats = bloomMembershipStats(lastRows, spark, benchPath, absentProbes = 10000)
           }
         }
@@ -509,11 +528,16 @@ object Bench {
     flush("preflight")
 
     def runLevel(c: Int): Unit = c match {
-      case 32 => measure(32, withJob = true, withFullText = true, withAll6 = true, withSized = true)
-      case 16 => measure(16, withJob = true, withFullText = false, withAll6 = false, withSized = false)
-      case 8  => measure(8, withJob = false, withFullText = false, withAll6 = true, withSized = true)
-      case 4  => measure(4, withJob = true, withFullText = false, withAll6 = false, withSized = false)
-      case 2  => measure(2, withJob = false, withFullText = false, withAll6 = false, withSized = true)
+      case 32 => measure(32, withJob = isFull, withFullText = true,
+        withAll6 = isFull, withSized = isFull, withUdaf = true)
+      case 16 => measure(16, withJob = true, withFullText = false,
+        withAll6 = false, withSized = false, withUdaf = true)
+      case 8  => measure(8, withJob = false, withFullText = isFull,
+        withAll6 = isFull, withSized = true, withUdaf = true)
+      case 4  => measure(4, withJob = true, withFullText = false,
+        withAll6 = false, withSized = false, withUdaf = isFull)
+      case 2  => measure(2, withJob = false, withFullText = false,
+        withAll6 = false, withSized = true, withUdaf = isFull)
       case _  => ()
     }
 
@@ -567,14 +591,16 @@ object Bench {
     }
     // official pair threshold = the BoxProbe clean floor; the job pair
     // (4→16) sits partly past the DRAM knee: clean history 0.72–0.83,
-    // contaminated 0.27 — gate at 0.60. Cost estimates are conservative
-    // single-attempt wall times for re-running both levels.
-    heal(2, 8, "pair_2_8", graft.tools.BoxProbe.CleanThreshold2to8, costEstimateSec = 420)
+    // contaminated 0.27 — gate at 0.60. Cost estimates are measured
+    // single-attempt wall times (flush-trail deltas) for re-running both
+    // levels + the 60 s pause.
+    heal(2, 8, "pair_2_8", graft.tools.BoxProbe.CleanThreshold2to8,
+      costEstimateSec = if (isFull) 700 else 450)
     Seq(4, 16).foreach { c =>
       if (leftSec > 90) { runLevel(c); flush(s"level_$c") }
       else skipped += s"level$c:deadline"
     }
-    heal(4, 16, "pair_4_16", 0.60, costEstimateSec = 360)
+    heal(4, 16, "pair_4_16", 0.60, costEstimateSec = if (isFull) 420 else 280)
     if (leftSec > 60) { runLevel(32); flush("level_32") }
     else skipped += "level32:deadline"
     flush("final")
@@ -778,8 +804,16 @@ object Bench {
            || --- | --- | --- | --- | --- | --- | --- | --- |
            |TABLE_GOES_HERE
            |
-           |(The full-text column runs only at local[32] in the budget-fit
-           |profile — it is a read-width comparison, not a scaling pair.)
+           |(Profile: **$profile**. The driver profile trims the columns the
+           |published pairs do not need — udaf comparison at local[2]/[4]
+           |(the two slowest sessions), the legacy all-6 column, SketchJob at
+           |local[32], sized at local[32] — so the base ladder + ONE
+           |official-pair heal fit the driver's wall-clock window; "-" cells
+           |are profile trims, not failures. The full profile
+           |(SPARK_GRAFT_BENCH_PROFILE=full) measures every column at every
+           |level at best-of-3. Full-text runs only at local[32] in the
+           |driver profile — it is a read-width comparison, not a scaling
+           |pair.)
            |
            |## Capacity-sized membership job (bloom-sized column)
            |

@@ -51,6 +51,27 @@ object PlanDump {
     dump("q_salted_agg (skew-defusing two-phase: exchange on (key, salt) then on key)",
       graft.SparkEntry.queries("q_salted_agg")(spark, sf))
 
+    // the q_ann_ivf_index operator runs eagerly (two probe batches against
+    // one persisted index), so dump its SEARCH plan explicitly: the probe
+    // batch must scan the cached index (InMemoryTableScan) — the assign UDF
+    // appears only inside the InMemoryRelation's cached plan, never in the
+    // per-batch execution above it
+    locally {
+      import graft.text.{VectorIvf, VectorIvfIndex}
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = VectorIvfIndex.fit(emb, "vec_id", "embedding", k = 64, sampleCap = 2048)
+      val index = VectorIvfIndex.index(emb, "vec_id", "embedding", cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      index.count()
+      val tfns = graft.text.TextSqlFunctions.default
+      val probes = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"),
+          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe"))
+      dump("q_ann_ivf_index probe batch (persisted assign-once index: InMemoryTableScan, no re-assign)",
+        VectorIvfIndex.top1(VectorIvfIndex.search(index, probes, cents, nprobe = 8), "ivf_top1"))
+      index.unpersist()
+    }
+
     val header = java.nio.file.Files.readString(
       java.nio.file.Paths.get("/root/repo/scripts/plans_header.md"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"),
