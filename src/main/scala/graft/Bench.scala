@@ -12,13 +12,15 @@ import graft.sketch.BloomSketch
   * Budget contract (round-5): the run must fit the driver's wall-clock
   * window and FAIL OPEN — a run that is killed early still leaves numbers.
   *  - `bench_out.json` (and a raw stdout JSON line) is flushed after the
-  *    query suite, after EVERY ladder level and after every heal attempt,
-  *    plus from a JVM shutdown hook — a timeout keeps everything measured
-  *    so far instead of nothing (round-4's rc=124 left an empty artifact).
-  *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 1200 s
-  *    measured from main()) is consulted before every optional stage; a
-  *    stage skipped for deadline is recorded in the JSON `skipped` list and
-  *    a heal skipped for deadline is flagged in `self_heal.pairs`.
+  *    query suite, after EVERY ladder level and after every heal re-measure
+  *    attempt, plus from a JVM shutdown hook on an interrupted run — a
+  *    timeout keeps everything measured so far instead of nothing
+  *    (round-4's rc=124 left an empty artifact).
+  *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC; defaults
+  *    1500 s driver profile / 3600 s full, measured from main()) is
+  *    consulted before every stage with per-stage cost estimates; a stage
+  *    skipped for deadline is recorded in the JSON `skipped` list and a
+  *    heal skipped for deadline is flagged in `self_heal.pairs`.
   *  - the driver profile is slim: ONE pre-flight probe (the per-pair heal
   *    still defends every published pair), throughput columns best-of-2,
   *    the full-text column only at local[32], and the per-query suite
@@ -307,6 +309,10 @@ object Bench {
     var preflightClean = true  // meaningful only when preflightRan
     // pair name -> (chronological gauges, index of kept attempt, deadline-skipped retries)
     val healLog = scala.collection.mutable.LinkedHashMap.empty[String, (Seq[Double], Int, Boolean)]
+    // cross-window backfill disclosures from heal(): a kept retry that had
+    // to skip an optional column for deadline gets that column restored
+    // from the original ladder attempt, and the mix is disclosed here
+    val healBackfills = scala.collection.mutable.ArrayBuffer.empty[String]
 
     val benchScale = sys.env.get("SPARK_GRAFT_BENCH_SCALE_OVERRIDE")
       .map(_.toBoolean).getOrElse(benchConvs >= 1000000L)
@@ -315,20 +321,16 @@ object Bench {
     def eff(lo: Int, hi: Int, m: scala.collection.Map[Int, Double]): Double =
       if (m.contains(lo) && m.contains(hi)) (m(hi) / m(lo)) / (hi.toDouble / lo) else 0.0
 
-    // ---- JSON builder + incremental flush: every stage boundary writes the
-    // full artifact (file AND a raw stdout line) so a timeout or SIGKILL
-    // leaves everything measured so far — round-4's rc=124 left nothing.
-    def buildJson(stage: String): String = {
-      val eff2to8 = eff(2, 8, thr)
-      val eff4to16 = eff(4, 16, thr)
-      val eff8to32 = eff(8, 32, thr)
-      val scan2to8 = eff(2, 8, scanThr)
-      val scan4to16 = eff(4, 16, scanThr)
-      val scan8to32 = eff(8, 32, scanThr)
-      val jobEff4to16 = eff(4, 16, jobThr)
-      val jobS1Eff4to16 = eff(4, 16, jobS1Thr)
-      val all6eff8to32 = eff(8, 32, thrAll6)
-      val sized2to8 = eff(2, 8, thrSized)
+    // ---- derived scaling metrics, computed in ONE place for both the JSON
+    // artifact and the BENCH.md narrative (a desynchronized second copy was
+    // a review finding)
+    case class Derived(
+        eff2to8: Double, eff4to16: Double, eff8to32: Double,
+        scan2to8: Double, scan4to16: Double, scan8to32: Double,
+        jobEff4to16: Double, jobS1Eff4to16: Double,
+        all6eff8to32: Double, sized2to8: Double, fittedEff: Double,
+        mixedWindowMetrics: Seq[String])
+    def derived(): Derived = {
       // log-log fitted N→4N over the in-envelope levels as a noise-robust
       // secondary number: efficiency = 4^(b-1) for fitted exponent b
       val fitLevels = Seq(2, 4, 8, 16).filter(thr.contains)
@@ -346,17 +348,32 @@ object Bench {
       // letting a clean-window numerator silently divide a contaminated-
       // window denominator (all are saturated/secondary pairs; the gauged
       // pairs themselves are always single-window by construction). A pair
-      // is cross-window only when a RE-MEASUREMENT was KEPT (chosen > 0).
+      // is cross-window only when a RE-MEASUREMENT was KEPT (chosen > 0);
+      // heal() additionally appends its own backfill disclosures.
       val remeasured = scala.collection.mutable.Set.empty[Int]
       if (healLog.get("pair_2_8").exists(_._2 > 0)) remeasured ++= Seq(2, 8)
       if (healLog.get("pair_4_16").exists(_._2 > 0)) remeasured ++= Seq(4, 16)
       def mixed(levels: Int*): Boolean =
         levels.exists(remeasured.contains) && !levels.forall(remeasured.contains)
-      val mixedWindowMetrics: Seq[String] = Seq(
+      val mixedWindowMetrics: Seq[String] = (Seq(
         "flagship_8_to_32" -> mixed(8, 32), "scan_only_8_to_32" -> mixed(8, 32),
         "all6_8_to_32" -> mixed(8, 32),
         "flagship_fitted_2_to_16" -> remeasured.nonEmpty)
-        .collect { case (name, true) => name }
+        .collect { case (name, true) => name }) ++ healBackfills
+      Derived(
+        eff(2, 8, thr), eff(4, 16, thr), eff(8, 32, thr),
+        eff(2, 8, scanThr), eff(4, 16, scanThr), eff(8, 32, scanThr),
+        eff(4, 16, jobThr), eff(4, 16, jobS1Thr),
+        eff(8, 32, thrAll6), eff(2, 8, thrSized), fittedEff,
+        mixedWindowMetrics)
+    }
+
+    // ---- JSON builder + incremental flush: every stage boundary writes the
+    // full artifact (file AND a raw stdout line) so a timeout or SIGKILL
+    // leaves everything measured so far — round-4's rc=124 left nothing.
+    def buildJson(stage: String): String = {
+      val d = derived()
+      import d._
       val qJson = queries.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = queries.values.sum
@@ -414,11 +431,17 @@ object Bench {
       println(json)
     }
     // a SIGTERM'd/timed-out run writes whatever is measured at that instant
-    // (maps may be mid-update during a level; the JSON stays parseable)
+    // (maps may be mid-update during a level; the JSON stays parseable).
+    // A normally-completed run must NOT be overwritten: the "final" stage
+    // marker in the artifact is how a reader tells a complete run from a
+    // killed one, so the hook is a no-op once main() finished its writes.
+    @volatile var runCompleted = false
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outJsonPath), buildJson("shutdown_hook") + "\n")
-      catch { case _: Throwable => () }
+      if (!runCompleted) {
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outJsonPath), buildJson("shutdown_hook") + "\n")
+        catch { case _: Throwable => () }
+      }
     }))
 
     // ---- bench table first (its own right-sized session — generating
@@ -552,6 +575,8 @@ object Bench {
     // evidence trail instead of leaving clean runs builder-side.
     val allMaps: Seq[scala.collection.mutable.Map[Int, Double]] =
       Seq(thr, thrUdaf, thrAll6, thrSized, scanThr, jobThr, jobS1Thr, ftThr)
+    val allMapNames = Seq("flagship", "udaf", "all6", "sized", "scan",
+      "job", "job_stage1", "fulltext")
     def snapshot(cs: Seq[Int]): Seq[Map[Int, Double]] =
       allMaps.map(m => cs.flatMap(c => m.get(c).map(c -> _)).toMap)
     def restore(cs: Seq[Int], snap: Seq[Map[Int, Double]]): Unit =
@@ -574,19 +599,45 @@ object Bench {
           runLevel(lo); runLevel(hi)
           attempts = (eff(lo, hi, scanThr), snapshot(Seq(lo, hi))) :: attempts
           tries += 1
+          flush(s"heal_${name}_attempt_$tries") // a kill mid-heal keeps this attempt
         }
       }
       val ordered = attempts.reverse
       val bestIdx = ordered.indices.maxBy(i => ordered(i)._1)
       restore(Seq(lo, hi), ordered(bestIdx)._2)
+      // a kept RETRY can be missing optional columns it had to skip for
+      // deadline (measure()'s in-level gates): backfill those from the
+      // ORIGINAL ladder attempt rather than deleting a valid measurement,
+      // and disclose the cross-window mix — the gauged flagship/scan
+      // columns themselves are always present in every attempt
+      if (bestIdx > 0) {
+        val original = ordered(0)._2
+        allMaps.zip(original).zip(allMapNames).foreach { case ((m, orig), mapName) =>
+          Seq(lo, hi).foreach { c =>
+            if (!m.contains(c) && orig.contains(c)) {
+              m(c) = orig(c)
+              healBackfills += s"${name}_backfill_${mapName}_local$c"
+            }
+          }
+        }
+      }
       healLog(name) = (ordered.map(_._1), bestIdx, dlSkipped)
       flush(s"heal_$name")
     }
 
     // official pair FIRST — an early kill still carries the load-bearing
     // number — then its heal, then the job pair, then the saturated level.
+    // Per-level cost estimates (measured flush-trail deltas of real runs;
+    // the ladder slows as cores shrink): gates that undershoot real level
+    // cost by 10x would let a level blow minutes past the deadline.
+    val levelCostSec: Map[Int, Double] =
+      if (isFull) Map(2 -> 450.0, 4 -> 220.0, 8 -> 280.0, 16 -> 160.0, 32 -> 300.0)
+      else Map(2 -> 280.0, 4 -> 170.0, 8 -> 160.0, 16 -> 110.0, 32 -> 150.0)
+    // the official pair's levels are worth an overshoot: half-cost gate
+    // (partial data beats an empty artifact; the flush trail survives an
+    // external kill either way) — optional levels gate at full cost
     Seq(2, 8).foreach { c =>
-      if (leftSec > 30) { runLevel(c); flush(s"level_$c") }
+      if (leftSec > levelCostSec(c) / 2) { runLevel(c); flush(s"level_$c") }
       else skipped += s"level$c:deadline"
     }
     // official pair threshold = the BoxProbe clean floor; the job pair
@@ -597,47 +648,16 @@ object Bench {
     heal(2, 8, "pair_2_8", graft.tools.BoxProbe.CleanThreshold2to8,
       costEstimateSec = if (isFull) 700 else 450)
     Seq(4, 16).foreach { c =>
-      if (leftSec > 90) { runLevel(c); flush(s"level_$c") }
+      if (leftSec > levelCostSec(c)) { runLevel(c); flush(s"level_$c") }
       else skipped += s"level$c:deadline"
     }
     heal(4, 16, "pair_4_16", 0.60, costEstimateSec = if (isFull) 420 else 280)
-    if (leftSec > 60) { runLevel(32); flush("level_32") }
+    if (leftSec > levelCostSec(32)) { runLevel(32); flush("level_32") }
     else skipped += "level32:deadline"
     flush("final")
 
-    val eff2to8 = eff(2, 8, thr)
-    val eff4to16 = eff(4, 16, thr)
-    val eff8to32 = eff(8, 32, thr)
-    val scan2to8 = eff(2, 8, scanThr)
-    val scan4to16 = eff(4, 16, scanThr)
-    val scan8to32 = eff(8, 32, scanThr)
-    val jobEff4to16 = eff(4, 16, jobThr)
-    val jobS1Eff4to16 = eff(4, 16, jobS1Thr)
-    val all6eff8to32 = eff(8, 32, thrAll6)
-    val sized2to8 = eff(2, 8, thrSized)
-    val fittedEff: Double = {
-      val fitLevels = Seq(2, 4, 8, 16).filter(thr.contains)
-      if (fitLevels.size >= 2) {
-        val xs = fitLevels.map(c => math.log(c.toDouble))
-        val ys = fitLevels.map(c => math.log(thr(c)))
-        val mx = xs.sum / xs.size; val my = ys.sum / ys.size
-        val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-          xs.map(x => (x - mx) * (x - mx)).sum
-        math.pow(4.0, b - 1.0)
-      } else 0.0
-    }
-    val mixedWindowMetrics: Seq[String] = {
-      val remeasured = scala.collection.mutable.Set.empty[Int]
-      if (healLog.get("pair_2_8").exists(_._2 > 0)) remeasured ++= Seq(2, 8)
-      if (healLog.get("pair_4_16").exists(_._2 > 0)) remeasured ++= Seq(4, 16)
-      def mixed(levels: Int*): Boolean =
-        levels.exists(remeasured.contains) && !levels.forall(remeasured.contains)
-      Seq(
-        "flagship_8_to_32" -> mixed(8, 32), "scan_only_8_to_32" -> mixed(8, 32),
-        "all6_8_to_32" -> mixed(8, 32),
-        "flagship_fitted_2_to_16" -> remeasured.nonEmpty)
-        .collect { case (name, true) => name }
-    }
+    val d = derived()
+    import d._
 
     // refresh the BENCH.md evidence file — every claim below is conditioned
     // on the measured values of THIS run
@@ -849,5 +869,8 @@ object Bench {
            |""".stripMargin.replace("TABLE_GOES_HERE", table)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outMdPath), md)
     } catch { case e: java.io.IOException => System.err.println(s"BENCH.md write failed: $e") }
+    // from here the artifact on disk says stage:"final" — the shutdown hook
+    // must not replace it with a "shutdown_hook" stamp on normal exit
+    runCompleted = true
   }
 }

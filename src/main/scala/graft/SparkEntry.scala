@@ -64,6 +64,17 @@ object SparkEntry {
     */
   private val SynthDupOffset = 1000000000L
 
+  /** q_ann_ivf_index parameters — shared with graft.tools.PlanDump so the
+    * dumped probe-batch plan always matches the executed query.
+    */
+  private[graft] object IvfIndexParams {
+    val K = 64
+    val SampleCap = 2048
+    val NProbe = 8
+    val PerturbEps = 0.15
+    val BatchSize = 100L
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -575,8 +586,9 @@ object SparkEntry {
     // tie-break semantics as the LSH/pivot-IVF rows.
     "q_ann_ivf_index" -> { (s, dir) =>
       import graft.text.{VectorIvf, VectorIvfIndex}
+      import IvfIndexParams._
       val emb = t(s, dir, "embeddings")
-      val cents = VectorIvfIndex.fit(emb, "vec_id", "embedding", k = 64, sampleCap = 2048)
+      val cents = VectorIvfIndex.fit(emb, "vec_id", "embedding", k = K, sampleCap = SampleCap)
       val assignCalls = s.sparkContext.longAccumulator("ivf_assign_calls")
       val assignUdf = udf((v: Seq[Float]) => {
         assignCalls.add(1); VectorIvf.assign(v, cents)
@@ -593,18 +605,25 @@ object SparkEntry {
         def batch(lo: Long, hi: Long): (Long, Long) = {
           val probes = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .select(col("vec_id").as("query_id"),
-              tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe"))
+              tfns.perturbUdf(col("embedding"), col("vec_id"), lit(PerturbEps)).as("qe"))
           val ivfTop = VectorIvfIndex.top1(
-            VectorIvfIndex.search(index, probes, cents, nprobe = 8), "ivf_top1")
+            VectorIvfIndex.search(index, probes, cents, nprobe = NProbe), "ivf_top1")
           val r = bfTop1(probes, emb).join(ivfTop, Seq("query_id"), "left")
             .agg(count(lit(1)).as("n"),
               sum(when(col("ivf_top1") === col("bf_top1"), 1L).otherwise(0L)).as("hits"))
             .collect()(0)
           (r.getLong(0), r.getLong(1))
         }
-        val (n1, h1) = batch(0, 100)
-        val (n2, h2) = batch(100, 200)
-        val assignOnce = callsAfterBuild == nVec && assignCalls.value == nVec
+        val (n1, h1) = batch(0, BatchSize)
+        val (n2, h2) = batch(BatchSize, 2 * BatchSize)
+        // accumulator updates from FAILED task attempts are not rolled back
+        // in transformations, so a transient build-phase retry can legally
+        // push the count above nVec — the reuse proof must not fail on it.
+        // What IS gated exactly: the build assigned every vector (>= nVec)
+        // and NOT ONE assign call happened during either search batch (a
+        // cache-evicted recompute during search would be a real re-assign
+        // and correctly fails the gate).
+        val assignOnce = callsAfterBuild >= nVec && assignCalls.value == callsAfterBuild
         import s.implicits._
         Seq((n1 + n2, (h1 + h2).toDouble >= (n1 + n2) * 0.9, 2L, assignOnce))
           .toDF("n_queries", "recall_ok", "batches", "assign_once_ok")

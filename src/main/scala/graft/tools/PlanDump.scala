@@ -57,19 +57,21 @@ object PlanDump {
     // appears only inside the InMemoryRelation's cached plan, never in the
     // per-batch execution above it
     locally {
-      import graft.text.{VectorIvf, VectorIvfIndex}
+      import graft.text.VectorIvfIndex
+      import graft.SparkEntry.IvfIndexParams._
       val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-      val cents = VectorIvfIndex.fit(emb, "vec_id", "embedding", k = 64, sampleCap = 2048)
+      val cents = VectorIvfIndex.fit(emb, "vec_id", "embedding", k = K, sampleCap = SampleCap)
       val index = VectorIvfIndex.index(emb, "vec_id", "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      index.count()
-      val tfns = graft.text.TextSqlFunctions.default
-      val probes = emb.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("query_id"),
-          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe"))
-      dump("q_ann_ivf_index probe batch (persisted assign-once index: InMemoryTableScan, no re-assign)",
-        VectorIvfIndex.top1(VectorIvfIndex.search(index, probes, cents, nprobe = 8), "ivf_top1"))
-      index.unpersist()
+      try {
+        index.count()
+        val tfns = graft.text.TextSqlFunctions.default
+        val probes = emb.filter(col("vec_id") < BatchSize)
+          .select(col("vec_id").as("query_id"),
+            tfns.perturbUdf(col("embedding"), col("vec_id"), lit(PerturbEps)).as("qe"))
+        dump("q_ann_ivf_index probe batch (persisted assign-once index: InMemoryTableScan, no re-assign)",
+          VectorIvfIndex.top1(VectorIvfIndex.search(index, probes, cents, nprobe = NProbe), "ivf_top1"))
+      } finally index.unpersist()
     }
 
     val header = java.nio.file.Files.readString(

@@ -395,8 +395,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.awaitTermination()
       q
     }
-    def readOut(out: String): Set[SessionSummary] =
-      sp.read.parquet(out).as[SessionSummary].collect().toSet
+    // MULTISET of emitted rows: a Set compare would silently swallow a
+    // duplicate re-emission of an already-sealed session across the restart
+    // — exactly the exactly-once regression this test exists to catch
+    def readOut(out: String): Map[SessionSummary, Int] =
+      sp.read.parquet(out).as[SessionSummary].collect()
+        .groupBy(identity).map { case (k, v) => k -> v.length }
 
     // interrupted run: chunks 0-1, stop, add 2-3, restart SAME checkpoint
     val srcInt = new java.io.File(root, "src-int")
@@ -409,9 +413,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val afterStop = readOut(outInt)
     // wm after segment 1 = 10min - gap = 8min: A(0,1) and B(1) sealed;
     // A(10) and C(10) pending in the state store
-    assert(afterStop.exists(s => s.conv_id == "A" && s.turns == 2),
+    assert(afterStop.keys.exists(s => s.conv_id == "A" && s.turns == 2),
       s"A(0,1) sealed before the stop, got $afterStop")
-    assert(!afterStop.exists(s => s.first_ts_ms >= ts(10).getTime),
+    assert(!afterStop.keys.exists(s => s.first_ts_ms >= ts(10).getTime),
       s"nothing at/after min 10 may be sealed at wm=8min, got $afterStop")
     Seq(2, 3).foreach(addChunk(srcInt, _))
     runStream(srcInt, ckptInt, outInt) // restart from checkpointLocation
@@ -425,17 +429,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val reference = readOut(refOut)
 
     assert(restarted == reference,
-      s"restarted emitted set != uninterrupted run:\n  restarted=$restarted\n  reference=$reference")
+      s"restarted emitted multiset != uninterrupted run:\n  restarted=$restarted\n  reference=$reference")
+    assert(restarted.values.forall(_ == 1),
+      s"every session must be emitted exactly once, got $restarted")
     // the boundary-spanning session was emitted ONLY after the restart —
     // its pre-stop half came back out of the checkpointed state store
-    val boundary = restarted.filter(s =>
+    val boundary = restarted.keys.filter(s =>
       s.conv_id == "A" && s.first_ts_ms == ts(10).getTime)
     assert(boundary.size == 1 && boundary.head.turns == 2 &&
       boundary.head.duration_ms == 60000L && boundary.head.len_max == 9.0,
       s"A(10,11) session wrong: $boundary")
-    assert(!afterStop.exists(_.first_ts_ms == ts(10).getTime),
+    assert(!afterStop.keys.exists(_.first_ts_ms == ts(10).getTime),
       "the boundary session must not exist before the restart")
     // Z(120) pending in both runs: final watermark 118 < seal point 122
-    assert(!reference.exists(s => s.conv_id == "Z" && s.first_ts_ms == ts(120).getTime))
+    assert(!reference.keys.exists(s => s.conv_id == "Z" && s.first_ts_ms == ts(120).getTime))
   }
 }
