@@ -232,6 +232,32 @@ object SparkEntry {
         col("turns"))
   }
 
+  /** Closed-form batch sessionization (lag-islands + the watermark-seal
+    * predicate) — the shared oracle for q_stream_sessions AND
+    * q_stream_restart: an interrupted-and-restarted replay must reproduce
+    * the interruption-free answer bit-for-bit.
+    */
+  private val SessionsOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, value, ts, epoch_ms(ts) AS tms,
+      |         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+      |                (PARTITION BY user_id ORDER BY ts)) > 3600000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS grp FROM e),
+      |sess AS (
+      |  SELECT user_id, grp, count(*) AS n_events, min(tms) AS first_ts_ms,
+      |         max(tms) - min(tms) AS duration_ms,
+      |         quantile_disc(value, 0.5e0) AS value_p50,
+      |         max(value) AS value_max, max(tms) AS last_ms
+      |  FROM g GROUP BY user_id, grp),
+      |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
+      |SELECT user_id, n_events, first_ts_ms, duration_ms, value_p50, value_max
+      |FROM sess, wm
+      |WHERE last_ms + 3600000 <= w
+      |ORDER BY user_id, first_ts_ms""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CMS point queries (count-min.js:67-78): exact on the small domain
@@ -864,6 +890,80 @@ object SparkEntry {
           col("len_p50").as("value_p50"), col("len_max").as("value_max"))
         .orderBy("user_id", "first_ts_ms")
     },
+    // CHECKPOINTED RESTART on the driver-visible path (the r4 VERDICT
+    // item-3 stretch): the SAME sessionization replay as q_stream_sessions,
+    // but the stream is STOPPED after the first two chunks (AvailableNow
+    // over a partially-populated source dir), then an identical query is
+    // restarted from the SAME checkpointLocation with the remaining chunks
+    // present — the first operation a real 100 TB backfill performs after
+    // an interruption. Pending islands (including sessions whose halves
+    // straddle the stop) must come back out of the checkpointed state
+    // store for the final emitted set to equal batch sessionization; the
+    // oracle is the identical closed-form SQL as q_stream_sessions, so a
+    // restart that loses, duplicates or re-splits state fails the hash.
+    // The file sink (exactly-once via its _spark_metadata log) replaces
+    // the memory sink, which does not support recovery.
+    "q_stream_restart" -> { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val stage = stageEventsByTime(s, dir, chunks = 4)
+      // fresh work area per invocation: file-source offsets, state store
+      // and sink commit log must not leak across warmup/timed/verify runs
+      val work = Files.createTempDirectory("graft-q-restart")
+      val src = work.resolve("src")
+      Files.createDirectories(src)
+      val ckpt = work.resolve("ckpt").toString
+      val out = work.resolve("out").toString
+      val chunkFiles = {
+        val l = Files.list(Paths.get(stage))
+        try l.filter(p => p.getFileName.toString.startsWith("chunk-"))
+          .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+        finally l.close()
+      }
+      def admit(n: Int): Unit = chunkFiles.take(n).foreach { p =>
+        val dest = src.resolve(p.getFileName.toString)
+        if (!Files.exists(dest)) {
+          Files.copy(p, dest)
+          dest.toFile.setLastModified(p.toFile.lastModified) // keep source order
+        }
+      }
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def runSegment(): Int = {
+        val turns = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.toString)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .select(col("user_id").cast("string").as("conv_id"), lit("e").as("role"),
+            col("value").cast("double").as("text_len"), col("ts"))
+          .as[graft.streaming.TranscriptStream.TurnEvent]
+        val sessions = graft.streaming.TranscriptStream.sessionize(turns, gapSeconds = 3600)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sessions.writeStream.format("parquet").option("path", out)
+              .option("checkpointLocation", ckpt).outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        q.recentProgress.count(_.numInputRows > 0)
+      }
+      admit(2)
+      val b1 = runSegment() // chunks 0-1, then STOP with islands pending
+      admit(4)
+      val b2 = runSegment() // restart from ckpt, chunks 2-3 + timeout batch
+      // the restart must be real: state existed at the stop (>= 2 data
+      // batches ran) and the second segment processed new data from the
+      // SAME checkpoint (>= 1 batch; quantile-tie tolerance mirrors
+      // q_stream_sessions' >= 3-of-4 gate)
+      require(b1 >= 2 && b2 >= 1 && b1 + b2 >= 3,
+        s"restart replay degenerate: $b1 batches before stop, $b2 after restart")
+      s.read.parquet(out)
+        .select(col("conv_id").cast("long").as("user_id"),
+          col("turns").as("n_events"), col("first_ts_ms"), col("duration_ms"),
+          col("len_p50").as("value_p50"), col("len_max").as("value_max"))
+        .orderBy("user_id", "first_ts_ms")
+    },
     // skew-defusing two-phase aggregation on the driver-visible path
     // (north-rule "salted pre-aggregation to defuse conv_id skew",
     // jobs/SaltedAgg.scala): phase 1 groups by (event_type, salt-bucket of
@@ -1240,26 +1340,10 @@ object SparkEntry {
     // island at-or-below the watermark can never gain an admissible event,
     // and pending islands above it are never sealed because the watermark
     // never advances again). epoch_ms == Spark's micros/1000 floor.
-    "q_stream_sessions" ->
-      """WITH e AS (
-        |  SELECT user_id, value, ts, epoch_ms(ts) AS tms,
-        |         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
-        |                (PARTITION BY user_id ORDER BY ts)) > 3600000
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |        ROWS UNBOUNDED PRECEDING) AS grp FROM e),
-        |sess AS (
-        |  SELECT user_id, grp, count(*) AS n_events, min(tms) AS first_ts_ms,
-        |         max(tms) - min(tms) AS duration_ms,
-        |         quantile_disc(value, 0.5e0) AS value_p50,
-        |         max(value) AS value_max, max(tms) AS last_ms
-        |  FROM g GROUP BY user_id, grp),
-        |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
-        |SELECT user_id, n_events, first_ts_ms, duration_ms, value_p50, value_max
-        |FROM sess, wm
-        |WHERE last_ms + 3600000 <= w
-        |ORDER BY user_id, first_ts_ms""".stripMargin,
+    "q_stream_sessions" -> SessionsOracleSql,
+    // restart must reproduce the interruption-free answer EXACTLY — the
+    // oracle is the same closed-form sessionization
+    "q_stream_restart" -> SessionsOracleSql,
     "q_sized_sketches" ->
       """SELECT
         |  CAST(ceil(CAST(trunc(-2000.0e0 * ln(0.02e0) / (ln(2.0e0)*ln(2.0e0))) AS BIGINT)
