@@ -645,11 +645,14 @@ object SparkEntry {
         // accumulator updates from FAILED task attempts are not rolled back
         // in transformations, so a transient build-phase retry can legally
         // push the count above nVec — the reuse proof must not fail on it.
-        // What IS gated exactly: the build assigned every vector (>= nVec)
-        // and NOT ONE assign call happened during either search batch (a
-        // cache-evicted recompute during search would be a real re-assign
-        // and correctly fails the gate).
-        val assignOnce = callsAfterBuild >= nVec && assignCalls.value == callsAfterBuild
+        // What IS gated: the build assigned every vector exactly once up to
+        // retry noise (>= nVec but strictly under a second full pass — a
+        // plan that materializes the assign twice still fails), and NOT ONE
+        // assign call happened during either search batch (a cache-evicted
+        // recompute during search would be a real re-assign and correctly
+        // fails the gate).
+        val assignOnce = callsAfterBuild >= nVec && callsAfterBuild < 2 * nVec &&
+          assignCalls.value == callsAfterBuild
         import s.implicits._
         Seq((n1 + n2, (h1 + h2).toDouble >= (n1 + n2) * 0.9, 2L, assignOnce))
           .toDF("n_queries", "recall_ok", "batches", "assign_once_ok")
@@ -908,7 +911,26 @@ object SparkEntry {
       import s.implicits._
       val stage = stageEventsByTime(s, dir, chunks = 4)
       // fresh work area per invocation: file-source offsets, state store
-      // and sink commit log must not leak across warmup/timed/verify runs
+      // and sink commit log must not leak across warmup/timed/verify runs.
+      // Prior invocations' areas are swept HERE rather than at their own
+      // end (the returned DataFrame reads the sink lazily, so a run may
+      // only consume its output after it returns) — by the time a new
+      // invocation starts, every earlier result has been consumed, and
+      // orphans from crashed JVMs go with them.
+      locally {
+        val tmp = Paths.get(sys.props("java.io.tmpdir"))
+        val l = Files.list(tmp)
+        try l.filter(p => p.getFileName.toString.startsWith("graft-q-restart"))
+          .forEach { p =>
+            try {
+              val w = Files.walk(p)
+              try w.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => Files.deleteIfExists(f))
+              finally w.close()
+            } catch { case _: java.io.IOException => () } // best-effort sweep
+          }
+        finally l.close()
+      }
       val work = Files.createTempDirectory("graft-q-restart")
       val src = work.resolve("src")
       Files.createDirectories(src)
@@ -954,9 +976,10 @@ object SparkEntry {
       val b2 = runSegment() // restart from ckpt, chunks 2-3 + timeout batch
       // the restart must be real: state existed at the stop (>= 2 data
       // batches ran) and the second segment processed new data from the
-      // SAME checkpoint (>= 1 batch; quantile-tie tolerance mirrors
-      // q_stream_sessions' >= 3-of-4 gate)
-      require(b1 >= 2 && b2 >= 1 && b1 + b2 >= 3,
+      // SAME checkpoint (>= 1 batch — a quantile tie collapsing 4 staged
+      // cuts to 3 leaves the second segment one data batch, which still
+      // exercises the state restore)
+      require(b1 >= 2 && b2 >= 1,
         s"restart replay degenerate: $b1 batches before stop, $b2 after restart")
       s.read.parquet(out)
         .select(col("conv_id").cast("long").as("user_id"),
