@@ -715,26 +715,31 @@ object SparkEntry {
       // namespaced by band index
       val bandKeys = array((0 until 8).map(b =>
         shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(255L)) + lit(b * 256L)): _*)
-      val banded = sh.select(col("id"), explode(bandKeys).as("band"))
-      // cap enforced at ingest (CappedIdsAgg buffer never exceeds cap+1),
-      // so a degenerate hot band costs O(cap) memory, not the whole bucket
-      val candIds = banded.groupBy(col("band"))
-        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("id")).as("ids"))
-        .filter(size(col("ids")).between(2, LshBucketCap))
-        .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-        .distinct()
-      candIds
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
-        .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      // the 8-byte fingerprint rides along through banding: the pair gate
+      // then runs directly on the pair stream, with NO join-back to the
+      // corpus — the join-back shape costs two extra shuffles plus a 2nd
+      // and 3rd full pass of the text+fingerprint UDFs over the table
+      // (Spark recomputes an uncached subtree per reference), which at
+      // 100 TB triples the dominant cost for 8 bytes/row of savings
+      val banded = sh.select(col("id"), col("sh"), explode(bandKeys).as("band"))
+      // cap enforced at ingest (buffer never exceeds cap+1 occupants), so
+      // a degenerate hot band costs O(cap) memory, not the whole bucket;
+      // occupants come back interleaved [id, sh, ...] (2 slots each)
+      banded.groupBy(col("band"))
+        .agg(tfns.cappedTaggedIdsAgg(LshBucketCap)(col("id"), col("sh")).as("xs"))
+        .filter((size(col("xs")) / 2).between(2, LshBucketCap))
+        .select(explode(tfns.taggedPairsUdf(col("xs"))).as("p"))
         // gate == the pigeonhole guarantee: 8 bands of 8 bits recover every
         // pair at hamming <= 7 with certainty, so the gate must not admit
         // more than the banding promises — a <= 8 gate would depend on the
         // cross-id hamming margin (min 12 at sf<=0.1) staying above 8,
         // which shrinks as the corpus grows; <= 7 keeps recall guaranteed
-        // (planted max hamming is 4) without betting on the margin tail
-        .filter(tfns.hammingCol(col("sha"), col("shb")) <= 7)
-        .select(col("id_a"), col("id_b"))
+        // (planted max hamming is 4) without betting on the margin tail.
+        // Gating BEFORE the pair-dedup distinct shrinks that shuffle to
+        // the true near-dup pairs.
+        .filter(tfns.hammingCol(col("p.tag_a"), col("p.tag_b")) <= 7)
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .distinct()
         .orderBy("id_a", "id_b")
     },
     // capacity-sized construction path (Bloom.create(n, p) /

@@ -211,6 +211,79 @@ object TextFunctions {
     out.result()
   }
 
+  /** One unordered candidate pair whose occupants each carry an opaque
+    * 64-bit payload (tag) — e.g. the SimHash fingerprint — so a cheap
+    * similarity gate can run directly on the pair stream.
+    */
+  case class TaggedPair(id_a: Long, tag_a: Long, id_b: Long, tag_b: Long)
+
+  /** All unordered id pairs within one capped bucket whose occupants are
+    * interleaved `[id0, tag0, id1, tag1, …]` (the [[CappedTaggedIdsAgg]]
+    * output shape). Carrying the payload through banding is what lets the
+    * caller skip the two join-backs that re-derive it: at table scale the
+    * join-back costs two extra shuffles PLUS a second and third full pass
+    * of the fingerprint UDF over the corpus, versus 8 bytes per banded row
+    * here. Duplicate ids yield no self-pair, mirroring [[idPairs]].
+    */
+  def taggedPairs(xs: Seq[Long]): Seq[TaggedPair] = {
+    val n = xs.length / 2
+    val idx = Array.tabulate(n)(identity)
+    val ids = new Array[Long](n)
+    val tags = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = xs(2 * i); tags(i) = xs(2 * i + 1); i += 1 }
+    val order = idx.sortBy(ids)
+    val out = Vector.newBuilder[TaggedPair]
+    i = 0
+    while (i < n) {
+      val a = order(i)
+      var j = i + 1
+      while (j < n) {
+        val b = order(j)
+        if (ids(a) != ids(b)) out += TaggedPair(ids(a), tags(a), ids(b), tags(b))
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** [[CappedIdsAgg]] variant whose occupants carry a 64-bit payload:
+    * collects `(id, tag)` as an interleaved Long array (`[id0, tag0, …]` —
+    * flat primitives keep the buffer/result codec trivial), cap enforced
+    * at ingest on the OCCUPANT count exactly like [[CappedIdsAgg]]: the
+    * buffer never holds more than `cap + 1` occupants, and a result with
+    * more than `cap` occupants means "overflowed — drop this bucket".
+    */
+  final class CappedTaggedIdsAgg(cap: Int)
+      extends Aggregator[(java.lang.Long, java.lang.Long),
+        scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
+    def zero: scala.collection.mutable.ArrayBuffer[Long] =
+      new scala.collection.mutable.ArrayBuffer[Long](16)
+    def reduce(b: scala.collection.mutable.ArrayBuffer[Long],
+        v: (java.lang.Long, java.lang.Long))
+        : scala.collection.mutable.ArrayBuffer[Long] = {
+      if (v._1 != null && v._2 != null && b.length <= 2 * cap) {
+        b += v._1.longValue(); b += v._2.longValue()
+      }
+      b
+    }
+    def merge(a: scala.collection.mutable.ArrayBuffer[Long],
+        b: scala.collection.mutable.ArrayBuffer[Long])
+        : scala.collection.mutable.ArrayBuffer[Long] = {
+      var i = 0
+      while (a.length <= 2 * cap && i + 1 < b.length) {
+        a += b(i); a += b(i + 1); i += 2
+      }
+      a
+    }
+    def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Long] = b.toArray
+    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
+      Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Bucket occupant collection with the cap enforced at INGEST: the
     * aggregation buffer never holds more than `cap + 1` ids, so a
     * degenerate hot bucket (millions of rows under one band key —
@@ -309,6 +382,18 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
 
   /** Ingest-capped bucket occupant collection (see TextFunctions.CappedIdsAgg). */
   def cappedIdsAgg(cap: Int): UserDefinedFunction = udaf(new TextFunctions.CappedIdsAgg(cap))
+
+  /** Payload-carrying variant (see TextFunctions.CappedTaggedIdsAgg):
+    * apply to `(id, tag)` columns, occupants come back interleaved.
+    */
+  def cappedTaggedIdsAgg(cap: Int): UserDefinedFunction =
+    udaf(new TextFunctions.CappedTaggedIdsAgg(cap),
+      Encoders.tuple(Encoders.LONG, Encoders.LONG))
+
+  /** Expand one capped interleaved `[id, tag, …]` bucket into its
+    * unordered payload-carrying candidate pairs.
+    */
+  val taggedPairsUdf: UserDefinedFunction = udf((xs: Seq[Long]) => taggedPairs(xs))
 
   /** Planted-near-duplicate synthetic document (see TextFunctions.synthDoc). */
   val synthDocUdf: UserDefinedFunction =

@@ -445,6 +445,30 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq("ok"))
   }
 
+  test("CappedTaggedIdsAgg keeps (id, tag) adjacency through partial merges") {
+    val sp = spark
+    import sp.implicits._
+    val cap = 16
+    val fns = graft.text.TextSqlFunctions.default
+    val agg = fns.cappedTaggedIdsAgg(cap)
+    // tag is a pure function of id, so adjacency survives ANY merge order
+    // iff every (even, odd) slot pair in the result satisfies it
+    val rows = (0 until 5000).map(i => ("hot", i.toLong, i.toLong * 7 + 1)) ++
+      Seq(("ok", 1L, 8L), ("ok", 2L, 15L), ("ok", 3L, 22L))
+    val out = rows.toDF("band", "id", "tag")
+      .repartition(8)
+      .groupBy($"band").agg(agg($"id", $"tag").as("xs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("hot").length == 2 * (cap + 1), "hot bucket capped at cap+1 occupants")
+    out.values.foreach(_.grouped(2).foreach { p =>
+      assert(p(1) == p(0) * 7 + 1, s"tag detached from id: $p")
+    })
+    // pair expansion carries the payloads through
+    val ps = graft.text.TextFunctions.taggedPairs(out("ok"))
+    assert(ps.map(p => (p.id_a, p.tag_a, p.id_b, p.tag_b)).toSet ==
+      Set((1L, 8L, 2L, 15L), (1L, 8L, 3L, 22L), (2L, 15L, 3L, 22L)))
+  }
+
   test("second-level SQL re-aggregation of sketch columns (tree merge)") {
     val perDate = spark.sql(
       """SELECT ts_date, hll_agg(conv_id) AS hll FROM transcripts

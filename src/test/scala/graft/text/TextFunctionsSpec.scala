@@ -114,6 +114,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(TextFunctions.idPairs(Seq(1L, 2L, 3L, 4L)).length == 6)
   }
 
+  test("taggedPairs: pairs carry each occupant's payload, no self-pairs") {
+    // interleaved [id, tag, ...], deliberately unsorted by id
+    val ps = TextFunctions.taggedPairs(Seq(5L, 50L, 1L, 10L, 9L, 90L))
+    assert(ps.toSet == Set(
+      TextFunctions.TaggedPair(1, 10, 5, 50),
+      TextFunctions.TaggedPair(1, 10, 9, 90),
+      TextFunctions.TaggedPair(5, 50, 9, 90)))
+    assert(TextFunctions.taggedPairs(Seq(7L, 70L)).isEmpty)
+    // duplicate id (same occupant seen twice) yields no self-pair, and the
+    // surviving pairs still carry the right tags
+    val dup = TextFunctions.taggedPairs(Seq(3L, 30L, 3L, 31L, 8L, 80L))
+    assert(!dup.exists(p => p.id_a == p.id_b))
+    assert(dup.forall(p => p.id_a == 3L && p.id_b == 8L && p.tag_b == 80L))
+  }
+
   test("synthDoc: deterministic, variants differ in exactly SynthReplaced tokens") {
     val a1 = TextFunctions.synthDoc(42L, 0)
     val a2 = TextFunctions.synthDoc(42L, 0)
