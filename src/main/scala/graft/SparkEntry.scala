@@ -521,17 +521,26 @@ object SparkEntry {
           tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe")))
       val rawBanded = emb.select(col("vec_id"),
         explode(tfns.annBucketsParamUdf(col("embedding"), lit(10), lit(12))).as("bucket"))
-      // degenerate-bucket cap as a broadcast ANTI-join: the oversized-bucket
-      // list is tiny by construction (only pathological buckets exceed the
-      // cap), so the big banded side is never shuffled — unlike a
-      // count-over-window, which would reshuffle every row
-      val hot = rawBanded.groupBy(col("bucket")).count().filter(col("count") > LshBucketCap)
-        .select(col("bucket"))
-      val banded = rawBanded.join(broadcast(hot), Seq("bucket"), "left_anti")
       val probeBanded = broadcast(probes.select(col("query_id"),
         explode(tfns.annBucketsParamUdf(col("qe"), lit(10), lit(12))).as("bucket")))
-      val candIds = probeBanded.as("a").join(banded.as("b"), "bucket")
-        .select(col("a.query_id"), col("b.vec_id").as("neighbor_id"))
+      // only buckets a probe hashes into can produce candidates, so the
+      // broadcast semi-join prunes the corpus-banded stream to the
+      // probe-relevant slice BEFORE anything else: the signature UDF runs
+      // once, the corpus is never shuffled (broadcast hash join), and the
+      // degenerate-bucket cap then costs only a shuffle of the surviving
+      // slice. Bucket membership is decided per bucket, so per-bucket
+      // occupant counts — and therefore the cap decision — are identical
+      // to counting over the full corpus (the old hot-count + anti-join
+      // shape paid a second full UDF pass for the same answer).
+      val probeBuckets = broadcast(probeBanded.select(col("bucket")).distinct())
+      val candIds = rawBanded.join(probeBuckets, "bucket")
+        // cap enforced at ingest (CappedIdsAgg buffer never exceeds cap+1),
+        // so a degenerate hot bucket costs O(cap) memory and is dropped
+        .groupBy(col("bucket"))
+        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("vec_id")).as("ids"))
+        .filter(size(col("ids")).between(1, LshBucketCap))
+        .join(probeBanded, "bucket")
+        .select(col("query_id"), explode(col("ids")).as("neighbor_id"))
         .distinct()
       val lshTop = top1(candIds
         .join(probes, "query_id")
@@ -669,12 +678,20 @@ object SparkEntry {
       val banded = docs
         .select(col("doc_id"), tfns.minhashSigUdf(col("text")).as("sig"))
         .select(col("doc_id"), explode(tfns.minhashBandsUdf(col("sig"))).as("band"))
-      val hot = banded.groupBy(col("band")).count().filter(col("count") > LshBucketCap)
-        .select(col("band"))
-      val capped = banded.join(broadcast(hot), Seq("band"), "left_anti")
-      val pairs = capped.as("a").join(capped.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // ONE banding pass: capped bucket agg + in-bucket pair expansion
+      // (same shape as q_simhash_near_dup). The old hot-count + anti-join
+      // + self-join shape evaluated the uncached minhash-signature UDF
+      // subtree THREE times over the corpus (the hot scan and both sides
+      // of the self-join) and paid two extra shuffles; the signature is
+      // the dominant cost (K hashes per shingle), so at table scale that
+      // tripled the pipeline. Cap semantics unchanged: a band with more
+      // than LshBucketCap occupants overflows the agg (cap + 1 ids) and
+      // the between-filter drops it, exactly as the anti-join did.
+      val pairs = banded.groupBy(col("band"))
+        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(2, LshBucketCap))
+        .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
+        .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
         .distinct()
       pairs
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
