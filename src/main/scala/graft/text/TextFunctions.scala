@@ -248,72 +248,68 @@ object TextFunctions {
     out.result()
   }
 
-  /** [[CappedIdsAgg]] variant whose occupants carry a 64-bit payload:
-    * collects `(id, tag)` as an interleaved Long array (`[id0, tag0, …]` —
-    * flat primitives keep the buffer/result codec trivial), cap enforced
-    * at ingest on the OCCUPANT count exactly like [[CappedIdsAgg]]: the
-    * buffer never holds more than `cap + 1` occupants, and a result with
-    * more than `cap` occupants means "overflowed — drop this bucket".
+  /** Shared cap-enforcement core for bucket occupant collection, with the
+    * cap enforced at INGEST: one occupant is `stride` consecutive Long
+    * slots in a flat buffer, and the buffer never holds more than
+    * `cap + 1` occupants (`stride·(cap+1)` slots), so a degenerate hot
+    * bucket (millions of rows under one band key — boilerplate/empty
+    * docs, near-zero vectors) costs O(cap) memory instead of
+    * materializing the whole bucket before a size filter. A result with
+    * more than `cap` occupants means "overflowed — drop this bucket"
+    * (the extra occupant is the overflow marker). Overflow propagates
+    * through `merge` in every merge order: once either side has reached
+    * `cap + 1` occupants the merged buffer has too.
     */
-  final class CappedTaggedIdsAgg(cap: Int)
-      extends Aggregator[(java.lang.Long, java.lang.Long),
-        scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
-    def zero: scala.collection.mutable.ArrayBuffer[Long] =
-      new scala.collection.mutable.ArrayBuffer[Long](16)
-    def reduce(b: scala.collection.mutable.ArrayBuffer[Long],
-        v: (java.lang.Long, java.lang.Long))
+  sealed abstract class CappedOccupantsAgg[IN](cap: Int, stride: Int)
+      extends Aggregator[IN, scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
+    /** Append the occupant's `stride` slots (or nothing, if `v` is null);
+      * called only while the buffer is below `cap + 1` occupants.
+      */
+    protected def push(b: scala.collection.mutable.ArrayBuffer[Long], v: IN): Unit
+    final def zero: scala.collection.mutable.ArrayBuffer[Long] =
+      new scala.collection.mutable.ArrayBuffer[Long](8 * stride)
+    final def reduce(b: scala.collection.mutable.ArrayBuffer[Long], v: IN)
         : scala.collection.mutable.ArrayBuffer[Long] = {
-      if (v._1 != null && v._2 != null && b.length <= 2 * cap) {
-        b += v._1.longValue(); b += v._2.longValue()
-      }
+      if (b.length <= stride * cap) push(b, v)
       b
     }
-    def merge(a: scala.collection.mutable.ArrayBuffer[Long],
+    final def merge(a: scala.collection.mutable.ArrayBuffer[Long],
         b: scala.collection.mutable.ArrayBuffer[Long])
         : scala.collection.mutable.ArrayBuffer[Long] = {
       var i = 0
-      while (a.length <= 2 * cap && i + 1 < b.length) {
-        a += b(i); a += b(i + 1); i += 2
+      while (a.length <= stride * cap && i + stride <= b.length) {
+        var s = 0
+        while (s < stride) { a += b(i + s); s += 1 }
+        i += stride
       }
       a
     }
-    def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Long] = b.toArray
-    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
+    final def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Long] = b.toArray
+    final def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
       Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
-    def outputEncoder: Encoder[Array[Long]] =
+    final def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** Bucket occupant collection with the cap enforced at INGEST: the
-    * aggregation buffer never holds more than `cap + 1` ids, so a
-    * degenerate hot bucket (millions of rows under one band key —
-    * boilerplate/empty docs, near-zero vectors) costs O(cap) memory
-    * instead of materializing the whole bucket before a size filter.
-    * A result longer than `cap` means "overflowed — drop this bucket"
-    * (the extra element is the overflow marker, mirroring the semantics
-    * of the broadcast-anti-join cap used by the probe-vs-index pipelines).
+  /** Ingest-capped bucket occupant collection (see [[CappedOccupantsAgg]];
+    * stride 1 — occupants are bare ids).
     */
-  final class CappedIdsAgg(cap: Int)
-      extends Aggregator[java.lang.Long, scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
-    def zero: scala.collection.mutable.ArrayBuffer[Long] =
-      new scala.collection.mutable.ArrayBuffer[Long](8)
-    def reduce(b: scala.collection.mutable.ArrayBuffer[Long], v: java.lang.Long)
-        : scala.collection.mutable.ArrayBuffer[Long] = {
-      if (v != null && b.length <= cap) b += v.longValue()
-      b
-    }
-    def merge(a: scala.collection.mutable.ArrayBuffer[Long],
-        b: scala.collection.mutable.ArrayBuffer[Long])
-        : scala.collection.mutable.ArrayBuffer[Long] = {
-      var i = 0
-      while (a.length <= cap && i < b.length) { a += b(i); i += 1 }
-      a
-    }
-    def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Long] = b.toArray
-    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
-      Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
-    def outputEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  final class CappedIdsAgg(cap: Int) extends CappedOccupantsAgg[java.lang.Long](cap, 1) {
+    protected def push(b: scala.collection.mutable.ArrayBuffer[Long],
+        v: java.lang.Long): Unit =
+      if (v != null) b += v.longValue()
+  }
+
+  /** [[CappedIdsAgg]] variant whose occupants carry a 64-bit payload:
+    * collects `(id, tag)` as an interleaved Long array (`[id0, tag0, …]` —
+    * flat primitives keep the buffer/result codec trivial; stride 2 in
+    * [[CappedOccupantsAgg]] terms, same `cap + 1`-occupants invariant).
+    */
+  final class CappedTaggedIdsAgg(cap: Int)
+      extends CappedOccupantsAgg[(java.lang.Long, java.lang.Long)](cap, 2) {
+    protected def push(b: scala.collection.mutable.ArrayBuffer[Long],
+        v: (java.lang.Long, java.lang.Long)): Unit =
+      if (v._1 != null && v._2 != null) { b += v._1.longValue(); b += v._2.longValue() }
   }
 
   // ---- MinHash UDAF: signature of all shingles in a group (mergeable) ----

@@ -38,13 +38,13 @@ object PlanDump {
     val sf = "/root/testdata/sf0.1"
     dump("q_token_counts (pure built-ins: no ScalaUDF, whole-stage codegen)",
       graft.SparkEntry.queries("q_token_counts")(spark, sf))
-    dump("q_minhash_near_dup (band join, broadcast ANTI-join bucket cap, id-dedup before verify)",
+    dump("q_minhash_near_dup (one signature pass: capped bucket agg + in-bucket pair expansion, id-dedup before exact-Jaccard verify)",
       graft.SparkEntry.queries("q_minhash_near_dup")(spark, sf))
-    dump("q_ann_lsh_recall (broadcast probes, anti-join cap, max_by top-1)",
+    dump("q_ann_lsh_recall (broadcast probes, semi-join probe-bucket prune BEFORE capped agg, max_by top-1)",
       graft.SparkEntry.queries("q_ann_lsh_recall")(spark, sf))
     dump("q_embed_near_dup (single-shuffle capped bucket grouping, pair dedup before cosine verify)",
       graft.SparkEntry.queries("q_embed_near_dup")(spark, sf))
-    dump("q_simhash_near_dup (simhash bands via built-ins, capped buckets, codegen bit_count gate)",
+    dump("q_simhash_near_dup (simhash bands via built-ins, tagged capped buckets carry the fingerprint, codegen bit_count gate on the pair stream — no corpus join-back)",
       graft.SparkEntry.queries("q_simhash_near_dup")(spark, sf))
     dump("q_ann_ivf_recall (IVF: broadcast probe cells, single-cell index equi-join, no dedup needed)",
       graft.SparkEntry.queries("q_ann_ivf_recall")(spark, sf))
