@@ -146,4 +146,62 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(near <= 8, s"planted pair hamming $near")
     assert(far >= 12, s"cross-id hamming $far")
   }
+
+  test("CappedOccupantsAgg: cap invariant holds under adversarial merge trees (both strides)") {
+    // Simulate Spark's Aggregator contract directly: shard the input
+    // randomly, reduce each shard into its own buffer, then collapse the
+    // buffers with a RANDOM binary merge tree — the orders Spark's partial
+    // merges may produce but an integration test can't force. Invariants:
+    //   (1) the buffer never exceeds cap+1 occupants at any point;
+    //   (2) overflow (cap+1 occupants) occurs iff more than cap occupants
+    //       were ingested in total;
+    //   (3) a non-overflowed bucket loses nothing: result multiset ==
+    //       ingested multiset;
+    //   (4) stride 2 keeps (id, tag) adjacency in every slot pair.
+    val rnd = new scala.util.Random(4242L)
+    val idsAgg = new TextFunctions.CappedIdsAgg(8)
+    val tagAgg = new TextFunctions.CappedTaggedIdsAgg(8)
+    val cap = 8
+    (0 until 300).foreach { trial =>
+      val n = rnd.nextInt(3 * cap + 2) // straddles the cap boundary
+      val ids = Seq.fill(n)(rnd.nextInt(1000).toLong)
+      // random sharding (possibly empty shards)
+      val nShards = 1 + rnd.nextInt(6)
+      val shards = Array.fill(nShards)(List.newBuilder[Long])
+      ids.foreach(v => shards(rnd.nextInt(nShards)) += v)
+      def collapse[B](bufs: Seq[B], merge: (B, B) => B, count: B => Int): B = {
+        val pool = scala.collection.mutable.ArrayBuffer(bufs: _*)
+        while (pool.length > 1) {
+          val i = rnd.nextInt(pool.length)
+          val a = pool.remove(i)
+          val j = rnd.nextInt(pool.length)
+          val b = pool.remove(j)
+          val m = merge(a, b)
+          assert(count(m) <= cap + 1, s"trial $trial: buffer exceeded cap+1 occupants")
+          pool += m
+        }
+        pool.head
+      }
+      // stride 1
+      val b1 = shards.map { sh =>
+        sh.result().foldLeft(idsAgg.zero)((b, v) => idsAgg.reduce(b, v))
+      }.toSeq
+      val r1 = idsAgg.finish(collapse[scala.collection.mutable.ArrayBuffer[Long]](
+        b1, idsAgg.merge, _.length))
+      assert(r1.length <= cap + 1)
+      if (n > cap) assert(r1.length == cap + 1, s"trial $trial: no overflow marker at n=$n")
+      else assert(r1.toSeq.sorted == ids.sorted, s"trial $trial: lost ids below cap")
+      // stride 2 (tag = pure function of id so adjacency is checkable)
+      val b2 = shards.map { sh =>
+        sh.result().foldLeft(tagAgg.zero)((b, v) =>
+          tagAgg.reduce(b, (java.lang.Long.valueOf(v), java.lang.Long.valueOf(v * 13 + 5))))
+      }.toSeq
+      val r2 = tagAgg.finish(collapse[scala.collection.mutable.ArrayBuffer[Long]](
+        b2, tagAgg.merge, _.length / 2))
+      assert(r2.length % 2 == 0 && r2.length / 2 <= cap + 1)
+      r2.grouped(2).foreach(p => assert(p(1) == p(0) * 13 + 5, s"trial $trial: tag detached"))
+      if (n > cap) assert(r2.length / 2 == cap + 1, s"trial $trial: no overflow marker at n=$n")
+      else assert(r2.grouped(2).map(_(0)).toSeq.sorted == ids.sorted)
+    }
+  }
 }
