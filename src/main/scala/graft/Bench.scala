@@ -742,12 +742,12 @@ object Bench {
       val queriesNote = queriesMode match {
         case "full" =>
           "Per-query times cover the FULL suite (builder evidence profile). " +
-            "The three streaming queries (windowed sketches, sessions, " +
-            "restart) carry a fixed engine-setup cost — stream staging, " +
-            "state-store init per micro-batch, and for the restart row two " +
-            "full query starts — that dominates their verify-scale wall " +
-            "time; CORRECTNESS proves their semantics, the numbers here " +
-            "bound the setup overhead."
+            "The four streaming queries (windowed sketches, sessions, " +
+            "restart, flush) carry a fixed engine-setup cost — stream " +
+            "staging, state-store init per micro-batch, and for the restart " +
+            "row two full query starts — that dominates their verify-scale " +
+            "wall time; CORRECTNESS proves their semantics, the numbers " +
+            "here bound the setup overhead."
         case "headline" =>
           s"Per-query times cover the ${HeadlineQueries.size}-query headline " +
             "subset (driver profile; sketch aggs + skew + dedup + ANN). " +

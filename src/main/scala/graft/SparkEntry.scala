@@ -198,6 +198,29 @@ object SparkEntry {
     stage.toString
   }
 
+  /** Best-effort sweep of prior invocations' temp work areas under the
+    * given prefix. Swept at the START of a new invocation rather than at
+    * each run's own end: the returned DataFrame reads its sink lazily, so a
+    * run's output may only be consumed after it returns — by the time a new
+    * invocation starts, every earlier result has been consumed, and orphans
+    * from crashed JVMs go with them.
+    */
+  private def sweepWorkAreas(prefix: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val l = Files.list(tmp)
+    try l.filter(p => p.getFileName.toString.startsWith(prefix))
+      .forEach { p =>
+        try {
+          val w = Files.walk(p)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+          finally w.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    finally l.close()
+  }
+
   /** Deterministic ANN top-1 read-out over a (query_id, neighbor_id, s)
     * candidate frame: partial-aggregatable max_by (no per-group sort
     * shuffle), ties broken to the LOWEST neighbor_id through the
@@ -237,7 +260,7 @@ object SparkEntry {
     * q_stream_restart: an interrupted-and-restarted replay must reproduce
     * the interruption-free answer bit-for-bit.
     */
-  private val SessionsOracleSql: String =
+  private val SessionsOracleCtes: String =
     """WITH e AS (
       |  SELECT user_id, value, ts, epoch_ms(ts) AS tms,
       |         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
@@ -251,11 +274,24 @@ object SparkEntry {
       |         max(tms) - min(tms) AS duration_ms,
       |         quantile_disc(value, 0.5e0) AS value_p50,
       |         max(value) AS value_max, max(tms) AS last_ms
-      |  FROM g GROUP BY user_id, grp),
+      |  FROM g GROUP BY user_id, grp)""".stripMargin
+
+  private val SessionsOracleSql: String = SessionsOracleCtes +
+    """,
       |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
       |SELECT user_id, n_events, first_ts_ms, duration_ms, value_p50, value_max
       |FROM sess, wm
       |WHERE last_ms + 3600000 <= w
+      |ORDER BY user_id, first_ts_ms""".stripMargin
+
+  /** The flush/drain oracle: EVERY session, no watermark-seal filter — what
+    * a finite backfill must emit once the drain sentinel pushes the final
+    * watermark past every seal point.
+    */
+  private val AllSessionsOracleSql: String = SessionsOracleCtes +
+    """
+      |SELECT user_id, n_events, first_ts_ms, duration_ms, value_p50, value_max
+      |FROM sess
       |ORDER BY user_id, first_ts_ms""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -939,20 +975,7 @@ object SparkEntry {
       // only consume its output after it returns) — by the time a new
       // invocation starts, every earlier result has been consumed, and
       // orphans from crashed JVMs go with them.
-      locally {
-        val tmp = Paths.get(sys.props("java.io.tmpdir"))
-        val l = Files.list(tmp)
-        try l.filter(p => p.getFileName.toString.startsWith("graft-q-restart"))
-          .forEach { p =>
-            try {
-              val w = Files.walk(p)
-              try w.sorted(java.util.Comparator.reverseOrder())
-                .forEach(f => Files.deleteIfExists(f))
-              finally w.close()
-            } catch { case _: java.io.IOException => () } // best-effort sweep
-          }
-        finally l.close()
-      }
+      sweepWorkAreas("graft-q-restart")
       val work = Files.createTempDirectory("graft-q-restart")
       val src = work.resolve("src")
       Files.createDirectories(src)
@@ -1004,6 +1027,94 @@ object SparkEntry {
       require(b1 >= 2 && b2 >= 1,
         s"restart replay degenerate: $b1 batches before stop, $b2 after restart")
       s.read.parquet(out)
+        .select(col("conv_id").cast("long").as("user_id"),
+          col("turns").as("n_events"), col("first_ts_ms"), col("duration_ms"),
+          col("len_p50").as("value_p50"), col("len_max").as("value_max"))
+        .orderBy("user_id", "first_ts_ms")
+    },
+    // FINITE-BACKFILL DRAIN on the driver-visible path: the same replay as
+    // q_stream_sessions plus ONE sentinel event (reserved user_id −1, event
+    // time = TranscriptStream.drainSentinelMs) appended as a final chunk.
+    // The sentinel pushes the final watermark strictly past every real seal
+    // point, so the TRAILING sessions — the ones q_stream_sessions's
+    // watermark-seal oracle deliberately excludes — are emitted too, and
+    // the output equals batch gap-sessionization of the WHOLE table (the
+    // oracle is the sessions SQL without the seal filter). This is the
+    // close-out a bounded 100 TB backfill runs so no session is left in the
+    // state store, and it makes the engine-inherent "final watermark lands
+    // exactly on a clamped seal point" alignment mechanically impossible
+    // (drainSentinelMs scaladoc) — belt-and-suspenders over the r4 seal-rule
+    // fix, now proven through the driver's own oracle gate.
+    "q_stream_flush" -> { (s, dir) =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import s.implicits._
+      val stage = stageEventsByTime(s, dir, chunks = 4)
+      sweepWorkAreas("graft-q-flush")
+      val work = Files.createTempDirectory("graft-q-flush")
+      val src = work.resolve("src")
+      Files.createDirectories(src)
+      // real chunks first, then the sentinel chunk strictly last in both
+      // name and mtime so the file source replays it as the final batch
+      val chunkFiles = {
+        val l = Files.list(Paths.get(stage))
+        try l.filter(p => p.getFileName.toString.startsWith("chunk-"))
+          .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+        finally l.close()
+      }
+      chunkFiles.foreach { p =>
+        val dest = src.resolve(p.getFileName.toString)
+        Files.copy(p, dest)
+        dest.toFile.setLastModified(p.toFile.lastModified)
+      }
+      val ev = t(s, dir, "events")
+      val schema = ev.schema
+      val hiMs = ev.agg(max(unix_micros(col("ts").cast("timestamp"))))
+        .first().getLong(0) / 1000L
+      val drainMs = graft.streaming.TranscriptStream.drainSentinelMs(hiMs, 3600L)
+      // one sentinel row in the events schema: only (user_id, value, ts)
+      // are replayed; the reserved id −1 is outside the generator's domain
+      // and filtered from the output (its island never seals anyway)
+      val tmp = work.resolve("sentinel-tmp")
+      ev.limit(1)
+        .withColumn("user_id", lit(-1L).cast(schema("user_id").dataType))
+        .withColumn("value", lit(0.0).cast(schema("value").dataType))
+        .withColumn("ts", timestamp_millis(lit(drainMs)).cast(schema("ts").dataType))
+        .coalesce(1).write.parquet(tmp.toString)
+      val sentinelPart = {
+        val l = Files.list(tmp)
+        try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+        finally l.close()
+      }
+      val sentinelDest = src.resolve(f"chunk-${chunkFiles.length}%03d.parquet")
+      Files.move(sentinelPart, sentinelDest, StandardCopyOption.REPLACE_EXISTING)
+      sentinelDest.toFile.setLastModified(
+        chunkFiles.map(_.toFile.lastModified).max + 1000L)
+      val turns = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("user_id").cast("string").as("conv_id"), lit("e").as("role"),
+          col("value").cast("double").as("text_len"), col("ts"))
+        .as[graft.streaming.TranscriptStream.TurnEvent]
+      val sessions = graft.streaming.TranscriptStream.sessionize(turns, gapSeconds = 3600)
+      val sink = "q_stream_flush_out"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          sessions.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      // >= 4 data batches: the sessions replay's >= 3 gate plus the
+      // sentinel's own (always non-empty) final batch
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 4,
+        s"expected >= 4 data micro-batches in the drained replay, saw $batches")
+      s.table(sink)
+        .filter(col("conv_id") =!= "-1")
         .select(col("conv_id").cast("long").as("user_id"),
           col("turns").as("n_events"), col("first_ts_ms"), col("duration_ms"),
           col("len_p50").as("value_p50"), col("len_max").as("value_max"))
@@ -1386,6 +1497,7 @@ object SparkEntry {
     // and pending islands above it are never sealed because the watermark
     // never advances again). epoch_ms == Spark's micros/1000 floor.
     "q_stream_sessions" -> SessionsOracleSql,
+    "q_stream_flush" -> AllSessionsOracleSql,
     // restart must reproduce the interruption-free answer EXACTLY — the
     // oracle is the same closed-form sessionization
     "q_stream_restart" -> SessionsOracleSql,

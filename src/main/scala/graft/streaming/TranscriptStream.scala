@@ -86,6 +86,33 @@ object TranscriptStream {
 
   private val kllK = 256
 
+  /** Event-time for a drain sentinel that seals EVERY pending island of a
+    * finite backfill (the "flush" close-out of a bounded replay).
+    *
+    * [[sessionize]] emits an island only once the watermark reaches its
+    * seal point `end + gap`; on a finite stream the final watermark is
+    * `maxEventMs - gap`, so trailing islands (seal points in
+    * `(maxEventMs - gap, maxEventMs + gap]`) stay pending forever — by
+    * design for an unbounded stream, but a bounded backfill wants every
+    * session out. Appending ONE sentinel event at this timestamp (under a
+    * reserved key the caller filters from the output) pushes the final
+    * watermark to `maxEventMs + gap + marginMs`, strictly past the largest
+    * possible seal point `maxEventMs + gap`, so every real island seals —
+    * either in its key's data invocation or via the armed event-time
+    * timeout (arm = seal − 1 < wm fires under the engine's strict-< rule).
+    * This also makes the engine-inherent unreachable alignment documented
+    * at the timeout arm (final watermark landing exactly ON a clamped seal
+    * point) mechanically impossible: the sentinel's watermark overshoots
+    * every real seal point by `marginMs >= 1`.
+    *
+    * The sentinel's own singleton island never seals (its seal point sits
+    * `gap` past the final watermark) and is dropped with its reserved key.
+    */
+  def drainSentinelMs(maxEventMs: Long, gapSeconds: Long, marginMs: Long = 1000L): Long = {
+    require(marginMs >= 1L, s"margin must be >= 1 ms, got $marginMs")
+    maxEventMs + 2 * gapSeconds * 1000L + marginMs
+  }
+
   /** Per-conversation sessionization with EXACT global gap semantics under
     * any batching: one micro-batch can carry MANY sessions of the same key
     * (the 100 TB backfill-replay case — Trigger.AvailableNow over a table
@@ -128,7 +155,7 @@ object TranscriptStream {
           // getCurrentWatermarkMs: in a timeout invocation this is the
           // eviction watermark that fired the timeout; in a data invocation
           // it is the (conservative, one batch older) late-events watermark
-          val wm = state.getCurrentWatermarkMs
+          val wm = state.getCurrentWatermarkMs()
           val islands = scala.collection.mutable.ArrayBuffer.empty[Isl]
           state.getOption.foreach(_.islands.foreach { s =>
             islands += new Isl(s.turns, s.firstTsMs, s.lastTsMs, s.maxLen,

@@ -245,6 +245,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       && s.len_max == 2.0, s"island1: $s")
   }
 
+  test("drain sentinel seals every trailing island of a finite backfill") {
+    import graft.streaming.TranscriptStream
+    import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    val gapSec = 120L
+    val stream = MemoryStream[TurnEvent]
+    val sessions = TranscriptStream.sessionize(stream.toDS(), gapSeconds = gapSec)
+    val q = sessions.writeStream.format("memory").queryName("drain_out")
+      .outputMode("append").start()
+    // Y has an early island (0-1) and a TRAILING island (10-11) that ends at
+    // the stream's max event time: the final watermark (11 - 2 min = 9) can
+    // never reach its seal point 13, so without a drain it stays pending —
+    // exactly the sessions the finite-backfill flush exists to emit.
+    stream.addData(
+      TurnEvent("Y", "user", 1.0, ts(0)),
+      TurnEvent("Y", "user", 3.0, ts(1)),
+      TurnEvent("Y", "user", 7.0, ts(10)),
+      TurnEvent("Y", "user", 5.0, ts(11)))
+    q.processAllAvailable()
+    assert(sp.sql("SELECT * FROM drain_out WHERE first_ts_ms >= " + ts(10).getTime)
+      .count() == 0, "trailing island must be pending before the drain")
+    // one sentinel event under a reserved key at the drain timestamp seals
+    // EVERY real island (watermark lands margin past the max seal point)
+    val drainTs = TranscriptStream.drainSentinelMs(ts(11).getTime, gapSec)
+    stream.addData(TurnEvent(" drain", "user", 0.0, new java.sql.Timestamp(drainTs)))
+    q.processAllAvailable()
+    q.stop()
+    val out = sp.sql("SELECT * FROM drain_out WHERE conv_id = 'Y'")
+      .as[SessionSummary].collect().sortBy(_.first_ts_ms)
+    assert(out.length == 2, s"both Y islands must be emitted after the drain, got ${out.toSeq}")
+    val Array(s1, s2) = out
+    assert(s1.turns == 2 && s1.first_ts_ms == ts(0).getTime && s1.len_max == 3.0, s"island 1: $s1")
+    assert(s2.turns == 2 && s2.first_ts_ms == ts(10).getTime && s2.len_p50 == 5.0
+      && s2.len_max == 7.0, s"trailing island: $s2")
+    // the sentinel's own island never seals and must not leak into the output
+    assert(sp.sql("SELECT * FROM drain_out WHERE conv_id != 'Y'").count() == 0,
+      "sentinel key must not emit")
+  }
+
   test("sessionize survives events far behind the watermark (no crash, row dropped)") {
     import graft.streaming.TranscriptStream
     import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
