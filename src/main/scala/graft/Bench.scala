@@ -444,10 +444,13 @@ object Bench {
       }
     }))
 
-    // ---- bench table first (its own right-sized session — generating
-    // inside a local[2] ladder session would serialize the bulk write)
+    // ---- bench table first (its own full-width session — generating
+    // inside a local[2] ladder session would serialize the bulk write, and
+    // the synth-string generation is CPU-bound: on a cold cache this stage
+    // is the single largest draw on the wall-clock budget, so it gets every
+    // core the box has)
     locally {
-      val s0 = session(16)
+      val s0 = session(32)
       try TranscriptGen.ensure(s0, benchPath, benchConvs, hotConvs = 8,
         hotTurns = 20000, parallelism = 64)
       finally s0.stop()
@@ -633,12 +636,19 @@ object Bench {
     val levelCostSec: Map[Int, Double] =
       if (isFull) Map(2 -> 450.0, 4 -> 220.0, 8 -> 280.0, 16 -> 160.0, 32 -> 300.0)
       else Map(2 -> 280.0, 4 -> 170.0, 8 -> 160.0, 16 -> 110.0, 32 -> 150.0)
-    // the official pair's levels are worth an overshoot: half-cost gate
-    // (partial data beats an empty artifact; the flush trail survives an
-    // external kill either way) — optional levels gate at full cost
+    // the official pair ALWAYS runs, deadline or not: it is the one
+    // load-bearing north-rule number, the flush trail + per-stage stdout
+    // JSON lines mean an external kill mid-level still leaves everything
+    // measured so far, and the only truly failed outcome is an in-budget
+    // artifact with no numbers (exactly what a cold-cache run produces if
+    // table generation eats the budget before the ladder starts — observed
+    // after a host re-provision wiped data/: 25 min of compile+generation,
+    // every stage deadline-skipped, rc=0 but nothing to grade). An
+    // over-deadline run that gets killed is no worse; one that finishes
+    // carries the number.
     Seq(2, 8).foreach { c =>
-      if (leftSec > levelCostSec(c) / 2) { runLevel(c); flush(s"level_$c") }
-      else skipped += s"level$c:deadline"
+      if (leftSec <= levelCostSec(c) / 2) skipped += s"level$c:overdeadline-ran-anyway"
+      runLevel(c); flush(s"level_$c")
     }
     // official pair threshold = the BoxProbe clean floor; the job pair
     // (4→16) sits partly past the DRAM knee: clean history 0.72–0.83,

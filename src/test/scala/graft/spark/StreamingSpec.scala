@@ -393,6 +393,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("sessionize: stop after >=2 micro-batches, restart from checkpoint, " +
       "emitted set == uninterrupted run (incl. a session spanning the restart)") {
+    restartScenario("hdfs")
+  }
+
+  test("sessionize restart recovery under the RocksDB state store (the 10^12-turn backend)") {
+    // Same stop/restart contract, but with state in RocksDB instead of the
+    // default HDFS-backed provider. At 10^12 turns the HDFS provider keeps
+    // every pending session in executor HEAP (state size == heap bound);
+    // RocksDB spills to local disk + uploads snapshots to the checkpoint,
+    // which is the only state backend that survives the north-rule scale.
+    // The emitted multiset must be byte-identical to the uninterrupted run,
+    // and the checkpoint must show RocksDB actually held the state.
+    val sp = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = restartScenario("rocksdb")
+      // RocksDB checkpoints upload versioned .zip snapshots (+ optional
+      // .changelog files); the HDFS provider writes .delta/.snapshot. A zip
+      // under state/ proves the provider was actually in effect across both
+      // segments, not silently defaulted.
+      val stateFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(ckpt, "state")).map(_.getName)
+      }
+      assert(stateFiles.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+        s"no RocksDB snapshot files under the checkpoint state dir: $stateFiles")
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+        s"HDFS-provider .delta files present — provider conf did not take: $stateFiles")
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None    => sp.conf.unset(key)
+      }
+    }
+  }
+
+  /** Shared stop/restart scenario; returns the interrupted run's checkpoint
+    * dir so callers can inspect the state store files.
+    */
+  private def restartScenario(tag: String): String = {
     import graft.streaming.TranscriptStream
     import graft.streaming.TranscriptStream.{TurnEvent, SessionSummary}
     import org.apache.spark.sql.streaming.Trigger
@@ -412,7 +455,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(TurnEvent("A", "user", 7.0, ts(10)), TurnEvent("C", "user", 3.0, ts(10))),
       Seq(TurnEvent("A", "user", 9.0, ts(11)), TurnEvent("B", "user", 4.0, ts(11))),
       Seq(TurnEvent("Z", "user", 1.0, ts(60)), TurnEvent("Z", "user", 2.0, ts(120))))
-    val root = java.nio.file.Files.createTempDirectory("graft-stream-restart").toFile
+    val root = java.nio.file.Files.createTempDirectory(s"graft-stream-restart-$tag").toFile
     val schema = org.apache.spark.sql.Encoders.product[TurnEvent].schema
     def addChunk(dir: java.io.File, i: Int): Unit = {
       dir.mkdirs()
@@ -485,5 +528,6 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the boundary session must not exist before the restart")
     // Z(120) pending in both runs: final watermark 118 < seal point 122
     assert(!reference.keys.exists(s => s.conv_id == "Z" && s.first_ts_ms == ts(120).getTime))
+    ckptInt
   }
 }
