@@ -377,6 +377,38 @@ object SparkEntry {
           (abs(wideHllFns.hllCardinality(col("sk")) - col("users_exact"))
             <= greatest(lit(1L), col("users_exact") / 100)).as("hll_within_1pct"))
     },
+    // HLL SET ALGEBRA (north-rule HLL surface): two overlapping user
+    // populations (user_id mod-3 halves, the q_bloom_jaccard_halves shape —
+    // partial overlap guaranteed at every SF), each aggregated into an HLL,
+    // then union / intersection / Jaccard via register-max merge +
+    // inclusion–exclusion. The estimates are gated against the EXACT set
+    // sizes computed in the same scan; the inclusion–exclusion error is
+    // bounded by the union's standard error, so every tolerance is relative
+    // to |A∪B| (with a +2 absolute floor for the near-exact sparse regime
+    // at tiny SFs). At 100 TB this is two sketch aggregations over one
+    // scan — no distinct shuffle, and the final set algebra is three
+    // scalar calls over two ~16 KB states.
+    "q_hll_set_algebra" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("user_id") % 3 =!= 0)
+        .agg(fns.hllLongAgg(col("user_id")).as("a"))
+      val b = ev.filter(col("user_id") % 3 =!= 1)
+        .agg(fns.hllLongAgg(col("user_id")).as("b"))
+      val exact = ev.agg(
+        countDistinct(when(col("user_id") % 3 =!= 0, col("user_id"))).as("users_a"),
+        countDistinct(when(col("user_id") % 3 =!= 1, col("user_id"))).as("users_b"),
+        countDistinct(when(col("user_id") % 3 === 2, col("user_id"))).as("users_inter"),
+        countDistinct(col("user_id")).as("users_union"))
+      val tol = greatest(lit(2.0), col("users_union") * 0.02)
+      exact.crossJoin(a).crossJoin(b).select(
+        col("users_a"), col("users_b"), col("users_inter"), col("users_union"),
+        (abs(fns.hllUnionCardinality(col("a"), col("b")) - col("users_union"))
+          <= tol).as("union_ok"),
+        (abs(fns.hllIntersection(col("a"), col("b")) - col("users_inter"))
+          <= tol).as("inter_ok"),
+        (abs(fns.hllJaccard(col("a"), col("b"))
+          - col("users_inter") / col("users_union")) <= 0.02).as("jaccard_ok"))
+    },
     // t-digest extremes + total weight, exact in singleton-centroid regime
     "q_tdigest_value_extrema" -> { (s, dir) =>
       t(s, dir, "events")
@@ -1120,6 +1152,48 @@ object SparkEntry {
           col("len_p50").as("value_p50"), col("len_max").as("value_max"))
         .orderBy("user_id", "first_ts_ms")
     },
+    // STREAMING CROSS-BATCH EXACT DEDUP on the driver-visible path: the
+    // same 4-chunk time-cut replay as q_stream_sessions, with streaming
+    // `dropDuplicates` on (user_id, event_type) — the state-backed
+    // first-occurrence filter a streaming ingest pipeline runs so each
+    // entity is processed once across ALL micro-batches, not once per
+    // batch. A key seen in chunk 1 must be suppressed when it reappears in
+    // chunk 4, so the per-event-type counts of the emitted stream equal
+    // batch COUNT(DISTINCT user_id) exactly — any per-batch (state-less)
+    // dedup overcounts and fails the hash. Exactness here needs unbounded
+    // key state; the bounded 100 TB variant is dropDuplicatesWithinWatermark
+    // (same plan shape, state evicted past the watermark) with RocksDB
+    // holding the key set off-heap — the same state-store story proven by
+    // the restart/RocksDB specs.
+    "q_stream_dedup" -> { (s, dir) =>
+      val stage = stageEventsByTime(s, dir, chunks = 4)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val deduped = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      val sink = "q_stream_dedup_out"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          deduped.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      // same multi-batch gate as q_stream_sessions: the dedup state must
+      // actually be carried ACROSS batches on the executed path
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"expected >= 3 data micro-batches in the staged replay, saw $batches")
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("distinct_users"))
+        .orderBy("event_type")
+    },
     // skew-defusing two-phase aggregation on the driver-visible path
     // (north-rule "salted pre-aggregation to defuse conv_id skew",
     // jobs/SaltedAgg.scala): phase 1 groups by (event_type, salt-bucket of
@@ -1315,6 +1389,15 @@ object SparkEntry {
     "q_hll_global_users_estimate" ->
       """SELECT count(DISTINCT user_id) AS users_exact, TRUE AS hll_within_1pct
         |FROM events""".stripMargin,
+    // the exact set sizes are recomputed independently; the three estimate
+    // gates (tolerances relative to |A∪B|, see the query) must all hold
+    "q_hll_set_algebra" ->
+      """SELECT count(DISTINCT CASE WHEN user_id % 3 <> 0 THEN user_id END) AS users_a,
+        |       count(DISTINCT CASE WHEN user_id % 3 <> 1 THEN user_id END) AS users_b,
+        |       count(DISTINCT CASE WHEN user_id % 3 = 2 THEN user_id END) AS users_inter,
+        |       count(DISTINCT user_id) AS users_union,
+        |       TRUE AS union_ok, TRUE AS inter_ok, TRUE AS jaccard_ok
+        |FROM events""".stripMargin,
     "q_tdigest_value_extrema" ->
       """SELECT event_type, round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
         |       CAST(count(value) AS DOUBLE) AS n
@@ -1498,6 +1581,12 @@ object SparkEntry {
     // never advances again). epoch_ms == Spark's micros/1000 floor.
     "q_stream_sessions" -> SessionsOracleSql,
     "q_stream_flush" -> AllSessionsOracleSql,
+    // cross-batch dedup must reduce the stream to exactly the distinct key
+    // set — per-event-type counts equal batch COUNT(DISTINCT user_id)
+    "q_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // restart must reproduce the interruption-free answer EXACTLY — the
     // oracle is the same closed-form sessionization
     "q_stream_restart" -> SessionsOracleSql,

@@ -115,9 +115,20 @@ object TranscriptGen {
       // derived column: metric queries over turn length then prune the wide
       // text column entirely (columnar scan reads ~1/10 the bytes)
       .withColumn("text_len", length(col("text")))
-      // one writer task per date ⇒ one well-sized file per partition dir
-      // instead of (tasks × dates) small files
-      .repartition(col("ts_date"))
+      // hash-cluster dates over a FIXED 16-task write stage ⇒ few well-sized
+      // files per partition dir instead of (tasks × dates) small files, and
+      // a write-stage memory envelope that does NOT scale with the session's
+      // core count. The dynamic-partition write sorts each task's rows by
+      // ts_date first, and those sort+parquet buffers are per-CONCURRENT-task:
+      // an unpinned repartition(col) inherits spark.sql.shuffle.partitions, so
+      // a local[32] generation session (64 partitions, 32 concurrent sorts)
+      // blew the 24g heap on a cold cache — OOM in sort_addToSorter under
+      // FileFormatWriter — while every warm-cache run had silently skipped
+      // this stage. 16 concurrent writers is the envelope six rounds of
+      // session(16) generation proved; the CPU-bound synth stage upstream
+      // still runs at the session's full width (it is the map side of this
+      // shuffle).
+      .repartition(16, col("ts_date"))
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("ts_date")

@@ -160,6 +160,26 @@ object HllSketch {
     new HllSketch(p, null, scala.collection.mutable.HashMap.empty)
   }
 
+  // ---- set algebra over serialized states ----
+  // Union is native (register-wise max — the merged sketch IS the sketch of
+  // A∪B); intersection and Jaccard come from inclusion–exclusion over the
+  // three estimates, the standard HLL derivation. Their absolute error is
+  // bounded by the union's standard error (~1.04/√m · |A∪B|), NOT the
+  // intersection's own size — callers gate tolerance against |A∪B|.
+
+  /** (|A∪B|, |A∩B|, J(A,B)) in one deserialization pass per operand. */
+  def setAlgebra(a: Array[Byte], b: Array[Byte]): (Double, Double, Double) = {
+    val sa = fromBytes(a); val sb = fromBytes(b)
+    val ea = sa.estimate; val eb = sb.estimate
+    val union = sa.mergeInPlace(sb).estimate // sa is a fresh copy — safe to mutate
+    val inter = math.max(0.0, ea + eb - union)
+    (union, inter, if (union <= 0.0) 0.0 else inter / union)
+  }
+
+  def unionEstimate(a: Array[Byte], b: Array[Byte]): Double = setAlgebra(a, b)._1
+  def intersectionEstimate(a: Array[Byte], b: Array[Byte]): Double = setAlgebra(a, b)._2
+  def jaccardEstimate(a: Array[Byte], b: Array[Byte]): Double = setAlgebra(a, b)._3
+
   private def alphaM(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697

@@ -168,6 +168,19 @@ class SketchFunctions(val config: SketchConfig) extends Serializable {
   val hllCardinality: UserDefinedFunction =
     udf((sk: Array[Byte]) => if (sk == null) None else Some(HllSketch.fromBytes(sk).cardinality))
 
+  // ---- HLL set algebra (HllSketch.setAlgebra: union via register-max
+  // merge, intersection/Jaccard via inclusion–exclusion; error relative to
+  // |A∪B|, see that scaladoc) ----
+  val hllUnionCardinality: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None else Some(HllSketch.unionEstimate(a, b)))
+  val hllIntersection: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None else Some(HllSketch.intersectionEstimate(a, b)))
+  val hllJaccard: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None else Some(HllSketch.jaccardEstimate(a, b)))
+
   /** Register every function for SQL under `prefix` (default none):
     * `SELECT role, hll_cardinality(hll_agg(conv_id)) ... GROUP BY role`.
     */
@@ -198,6 +211,8 @@ class SketchFunctions(val config: SketchConfig) extends Serializable {
     reg("tdigest_size", tdigestSize)
     reg("kll_quantile", kllQuantile); reg("kll_cdf", kllCdf); reg("kll_size", kllSize)
     reg("hll_estimate", hllEstimate); reg("hll_cardinality", hllCardinality)
+    reg("hll_union_cardinality", hllUnionCardinality)
+    reg("hll_intersection", hllIntersection); reg("hll_jaccard", hllJaccard)
   }
 }
 

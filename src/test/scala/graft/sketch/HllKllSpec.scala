@@ -103,6 +103,37 @@ class HllKllSpec extends AnyFunSuite {
     assert(left.toBytes.toSeq == right.toBytes.toSeq, "merge associativity")
   }
 
+  test("HLL set algebra: inclusion–exclusion intersection/Jaccard within union-relative bound") {
+    def serialize(lo: Int, hi: Int): Array[Byte] = {
+      val h = HllSketch()
+      (lo until hi).foreach(i => h.add(s"user-$i"))
+      h.toBytes
+    }
+    // tolerance: inclusion–exclusion error is bounded by the union
+    // estimate's error, so 3σ relative to |A∪B| (+1 for sparse rounding)
+    def check(aLo: Int, aHi: Int, bLo: Int, bHi: Int): Unit = {
+      val a = serialize(aLo, aHi); val b = serialize(bLo, bHi)
+      val union = math.max(aHi, bHi) - math.min(aLo, bLo)
+      val inter = math.max(0, math.min(aHi, bHi) - math.max(aLo, bLo))
+      val tol = 3 * 1.04 / math.sqrt((1 << HllSketch.DefaultP).toDouble) * union + 1
+      val (u, i, j) = HllSketch.setAlgebra(a, b)
+      assert(math.abs(u - union) <= tol, s"union est $u vs $union (tol $tol)")
+      assert(math.abs(i - inter) <= tol, s"inter est $i vs $inter (tol $tol)")
+      assert(math.abs(j - inter.toDouble / union) <= 3 * 1.04 /
+        math.sqrt((1 << HllSketch.DefaultP).toDouble) + 0.01, s"jaccard est $j")
+      // one-shot accessors agree with the single-pass tuple
+      assert(u == HllSketch.unionEstimate(a, b)
+        && i == HllSketch.intersectionEstimate(a, b)
+        && j == HllSketch.jaccardEstimate(a, b), "accessor parity")
+      // setAlgebra merges a FRESH copy — operands unchanged, calls repeatable
+      assert(HllSketch.setAlgebra(a, b) == ((u, i, j)), "operands must not be mutated")
+    }
+    check(0, 1000, 500, 1500)        // sparse, 1/3 overlap
+    check(0, 2000, 2000, 4000)       // sparse, disjoint (inter clamped >= 0)
+    check(0, 200000, 100000, 300000) // dense, 1/3 overlap
+    check(0, 500, 0, 500)            // identical sets: jaccard ~ 1
+  }
+
   test("HLL codec round-trips in both modes") {
     val sp = HllSketch(); (0 until 50).foreach(i => sp.add(s"x$i"))
     assert(HllSketch.fromBytes(sp.toBytes).toBytes.toSeq == sp.toBytes.toSeq)
