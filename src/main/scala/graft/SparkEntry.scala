@@ -341,6 +341,22 @@ object SparkEntry {
           fns.topkQuery(col("sk"), col("e.value")).as("qcnt"))
         .orderBy("value")
     },
+    // WEIGHTED Space-Saving ingestion (stream-summary.js:84-138 add(v,count)
+    // — the §2.2 weighted-add path) on the driver gate: per-key counts are
+    // PRE-AGGREGATED (the map-side-combine shape a 100 TB pipeline feeds a
+    // top-k from — k rows into the sketch instead of n), then added with
+    // their weights in one pass. Exact regime: distinct keys << capacity
+    // (5 event types vs 100 counters), so counts are exact and errors 0 —
+    // the weighted path must reproduce the raw per-row counts bit-for-bit.
+    "q_topk_weighted" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val pre = ev.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      pre.agg(fns.topkWeightedAgg(col("event_type"), col("c")).as("sk"))
+        .select(explode(fns.topkAll(col("sk"))).as("e"))
+        .select(col("e.value").as("value"), col("e.count").as("cnt"),
+          col("e.error").as("err"))
+        .orderBy(col("cnt").desc, col("value"))
+    },
     // Bloom membership (bloom.js:64-77): no false negatives; FPR ~0 at 1MB
     "q_bloom_brand_membership" -> { (s, dir) =>
       val part = t(s, dir, "part")
@@ -1372,6 +1388,12 @@ object SparkEntry {
         |       (SELECT count(*) FROM events WHERE event_id % 2 = 1) AS nb,
         |       TRUE AS cmm_dot_ok
         |FROM a JOIN b USING (event_type)""".stripMargin,
+    // weighted add over pre-aggregated (key, count) pairs reproduces the
+    // raw counts exactly in the keys<<capacity regime
+    "q_topk_weighted" ->
+      """SELECT event_type AS value, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+        |FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, value""".stripMargin,
     "q_topk_event_types" ->
       """SELECT event_type AS value, count(*) AS cnt, CAST(0 AS BIGINT) AS err,
         |       count(*) AS qcnt
