@@ -395,28 +395,29 @@ object SparkEntry {
     },
     // HLL SET ALGEBRA (north-rule HLL surface): two overlapping user
     // populations (user_id mod-3 halves, the q_bloom_jaccard_halves shape —
-    // partial overlap guaranteed at every SF), each aggregated into an HLL,
-    // then union / intersection / Jaccard via register-max merge +
-    // inclusion–exclusion. The estimates are gated against the EXACT set
-    // sizes computed in the same scan; the inclusion–exclusion error is
-    // bounded by the union's standard error, so every tolerance is relative
-    // to |A∪B| (with a +2 absolute floor for the near-exact sparse regime
-    // at tiny SFs). At 100 TB this is two sketch aggregations over one
-    // scan — no distinct shuffle, and the final set algebra is three
-    // scalar calls over two ~16 KB states.
+    // partial overlap guaranteed at every SF), each aggregated into an HLL
+    // by CONDITIONAL aggregation (`when(pred, id)` — the UDAF skips nulls),
+    // so both sketches AND the exact gate counts come out of ONE scan of
+    // the table: at 100 TB the production side is a single pass producing
+    // two ~16 KB states, then union / intersection / Jaccard are three
+    // scalar calls (register-max merge + inclusion–exclusion). The exact
+    // COUNT(DISTINCT)s exist only for the oracle gate (their Expand-based
+    // distinct plan is the part a real pipeline would not run); the
+    // inclusion–exclusion error is bounded by the union's standard error,
+    // so every tolerance is relative to |A∪B| (+2 absolute floor for the
+    // near-exact sparse regime at tiny SFs).
     "q_hll_set_algebra" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
-      val a = ev.filter(col("user_id") % 3 =!= 0)
-        .agg(fns.hllLongAgg(col("user_id")).as("a"))
-      val b = ev.filter(col("user_id") % 3 =!= 1)
-        .agg(fns.hllLongAgg(col("user_id")).as("b"))
-      val exact = ev.agg(
-        countDistinct(when(col("user_id") % 3 =!= 0, col("user_id"))).as("users_a"),
-        countDistinct(when(col("user_id") % 3 =!= 1, col("user_id"))).as("users_b"),
-        countDistinct(when(col("user_id") % 3 === 2, col("user_id"))).as("users_inter"),
-        countDistinct(col("user_id")).as("users_union"))
+      val inA = col("user_id") % 3 =!= 0
+      val inB = col("user_id") % 3 =!= 1
       val tol = greatest(lit(2.0), col("users_union") * 0.02)
-      exact.crossJoin(a).crossJoin(b).select(
+      t(s, dir, "events").agg(
+        fns.hllLongAgg(when(inA, col("user_id"))).as("a"),
+        fns.hllLongAgg(when(inB, col("user_id"))).as("b"),
+        countDistinct(when(inA, col("user_id"))).as("users_a"),
+        countDistinct(when(inB, col("user_id"))).as("users_b"),
+        countDistinct(when(inA && inB, col("user_id"))).as("users_inter"),
+        countDistinct(col("user_id")).as("users_union"))
+      .select(
         col("users_a"), col("users_b"), col("users_inter"), col("users_union"),
         (abs(fns.hllUnionCardinality(col("a"), col("b")) - col("users_union"))
           <= tol).as("union_ok"),
