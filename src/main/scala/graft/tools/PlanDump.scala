@@ -50,6 +50,8 @@ object PlanDump {
       graft.SparkEntry.queries("q_ann_ivf_recall")(spark, sf))
     dump("q_salted_agg (skew-defusing two-phase: exchange on (key, salt) then on key)",
       graft.SparkEntry.queries("q_salted_agg")(spark, sf))
+    dump("q_hll_set_algebra (ONE pruned scan: conditional HLL aggs; the Expand node feeds only the oracle-side COUNT(DISTINCT)s)",
+      graft.SparkEntry.queries("q_hll_set_algebra")(spark, sf))
 
     // the q_ann_ivf_index operator runs eagerly (two probe batches against
     // one persisted index), so dump its SEARCH plan explicitly: the probe
