@@ -71,6 +71,32 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hll set algebra via SQL: union/intersection/jaccard vs exact role overlap") {
+    // user-role convs vs assistant-role convs: every conv has both roles
+    // except single-turn system/tool-only edge convs, so the overlap is
+    // large and known exactly
+    val est = spark.sql(
+      """WITH s AS (
+        |  SELECT hll_agg(CASE WHEN role = 'user' THEN conv_id END) AS a,
+        |         hll_agg(CASE WHEN role = 'assistant' THEN conv_id END) AS b
+        |  FROM transcripts)
+        |SELECT hll_union_cardinality(a, b) AS u, hll_intersection(a, b) AS i,
+        |       hll_jaccard(a, b) AS j FROM s""".stripMargin).collect()(0)
+    val exact = transcripts.agg(
+      countDistinct(when(col("role") === "user" || col("role") === "assistant",
+        col("conv_id"))).as("u"),
+      countDistinct(when(col("role") === "user", col("conv_id"))).as("ca"),
+      countDistinct(when(col("role") === "assistant", col("conv_id"))).as("cb"))
+      .collect()(0)
+    val exactU = exact.getLong(0)
+    val exactI = exact.getLong(1) + exact.getLong(2) - exactU
+    val tol = math.max(2.0, exactU * 0.02)
+    assert(math.abs(est.getDouble(0) - exactU) <= tol, s"union ${est.getDouble(0)} vs $exactU")
+    assert(math.abs(est.getDouble(1) - exactI) <= tol, s"inter ${est.getDouble(1)} vs $exactI")
+    assert(math.abs(est.getDouble(2) - exactI.toDouble / exactU) <= 0.02,
+      s"jaccard ${est.getDouble(2)}")
+  }
+
   test("Dataset.agg typed path gives the same sketch as SQL path") {
     val sqlBytes = spark.sql(
       "SELECT hll_agg(conv_id) FROM transcripts WHERE role = 'user'")
