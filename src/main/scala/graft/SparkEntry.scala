@@ -417,14 +417,21 @@ object SparkEntry {
         countDistinct(when(inB, col("user_id"))).as("users_b"),
         countDistinct(when(inA && inB, col("user_id"))).as("users_inter"),
         countDistinct(col("user_id")).as("users_union"))
+      // one-pass struct UDF: all three numbers from a single
+      // deserialize+merge of the two states (the scalar accessors each
+      // redo the pass — 3× the work per group in a grouped query)
+      .withColumn("sa", fns.hllSetAlgebra(col("a"), col("b")))
       .select(
         col("users_a"), col("users_b"), col("users_inter"), col("users_union"),
-        (abs(fns.hllUnionCardinality(col("a"), col("b")) - col("users_union"))
-          <= tol).as("union_ok"),
-        (abs(fns.hllIntersection(col("a"), col("b")) - col("users_inter"))
-          <= tol).as("inter_ok"),
-        (abs(fns.hllJaccard(col("a"), col("b"))
-          - col("users_inter") / col("users_union")) <= 0.02).as("jaccard_ok"))
+        (abs(col("sa.union") - col("users_union")) <= tol).as("union_ok"),
+        (abs(col("sa.intersection") - col("users_inter")) <= tol).as("inter_ok"),
+        // empty/all-null-user table ⇒ 0/0 = NaN in the exact ratio: fail
+        // loudly with the cause (q_salted_agg precedent) instead of a
+        // silent oracle mismatch
+        when(col("users_union") === 0,
+          raise_error(lit("q_hll_set_algebra: events has no non-null user_id")))
+          .otherwise(abs(col("sa.jaccard")
+            - col("users_inter") / col("users_union")) <= 0.02).as("jaccard_ok"))
     },
     // t-digest extremes + total weight, exact in singleton-centroid regime
     "q_tdigest_value_extrema" -> { (s, dir) =>
@@ -1185,6 +1192,20 @@ object SparkEntry {
     "q_stream_dedup" -> { (s, dir) =>
       val stage = stageEventsByTime(s, dir, chunks = 4)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the cross-batch claim must hold on the executed path, not by
+      // assumption: at least one key must SPAN two chunk files, otherwise
+      // a broken per-batch (state-less) dedup would still match the oracle
+      // and this row would prove nothing (the batches>=3 gate below only
+      // proves multiple batches ran, not that state carried between them)
+      val spanning = s.read.parquet(stage)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), input_file_name().as("f"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(countDistinct(col("f")).as("nf"))
+        .filter(col("nf") >= 2).limit(1).count()
+      require(spanning >= 1,
+        "staged replay has no (user_id, event_type) key spanning two " +
+          "chunks — the cross-batch dedup gate would be vacuous")
       val deduped = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
         .filter(col("user_id").isNotNull)

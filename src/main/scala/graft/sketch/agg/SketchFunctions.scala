@@ -11,6 +11,12 @@ import graft.sketch._
   */
 case class TopEntry(value: String, count: Long, error: Long)
 
+/** HLL set-algebra result struct (`hll_set_algebra`): one deserialization
+  * pass per operand for all three numbers — use this when a query needs
+  * more than one of them; the scalar accessors each redo the full pass.
+  */
+case class HllSetResult(union: Double, intersection: Double, jaccard: Double)
+
 /** Sketch parameters fixed at registration time. SQL functions cannot take
   * config scalars as non-column arguments, so each (name, params) pair is a
   * distinct registered function; call `register` again with a different
@@ -171,9 +177,24 @@ class SketchFunctions(val config: SketchConfig) extends Serializable {
   // ---- HLL set algebra (HllSketch.setAlgebra: union via register-max
   // merge, intersection/Jaccard via inclusion–exclusion; error relative to
   // |A∪B|, see that scaladoc) ----
+  /** All three numbers in ONE pass (struct column) — preferred when a query
+    * reads more than one of them (per-group, the scalar accessors each pay
+    * their own deserialize+merge).
+    */
+  val hllSetAlgebra: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None
+      else {
+        val (u, i, j) = HllSketch.setAlgebra(a, b)
+        Some(HllSetResult(u, i, j))
+      })
+  /** Rounded-Long union size — same convention as `hll_cardinality`
+    * (`hll_estimate` is the raw-Double convention).
+    */
   val hllUnionCardinality: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
-      if (a == null || b == null) None else Some(HllSketch.unionEstimate(a, b)))
+      if (a == null || b == null) None
+      else Some(math.rint(HllSketch.unionEstimate(a, b)).toLong))
   val hllIntersection: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) None else Some(HllSketch.intersectionEstimate(a, b)))
@@ -211,6 +232,7 @@ class SketchFunctions(val config: SketchConfig) extends Serializable {
     reg("tdigest_size", tdigestSize)
     reg("kll_quantile", kllQuantile); reg("kll_cdf", kllCdf); reg("kll_size", kllSize)
     reg("hll_estimate", hllEstimate); reg("hll_cardinality", hllCardinality)
+    reg("hll_set_algebra", hllSetAlgebra)
     reg("hll_union_cardinality", hllUnionCardinality)
     reg("hll_intersection", hllIntersection); reg("hll_jaccard", hllJaccard)
   }

@@ -244,6 +244,7 @@ object ScaleHeadroom {
     run("stream_dedup_rocksdb@1.15M", 1150000L) {
       import java.nio.file.{Files, StandardCopyOption}
       val work = Files.createTempDirectory("headroom-stream-dedup")
+      try {
       val src = work.resolve("src"); Files.createDirectories(src)
       val baseTs = 1735689600000L
       (0 until 4).foreach { c =>
@@ -310,6 +311,14 @@ object ScaleHeadroom {
       val noDelta = !stateFiles.exists(_.endsWith(".delta"))
       (s"emitted=$emitted/1000000 exact, rocksdb_files=$rocks no_delta=$noDelta",
         emitted == 1000000L && rocks && noDelta)
+      } finally {
+        // this row's work area (1.15M-row chunks + RocksDB checkpoint) is
+        // per-run scratch, unlike the cached $base tables — sweep it
+        val w = Files.walk(work)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally w.close()
+      }
     }
 
     // ---- report ----

@@ -81,7 +81,8 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
         |         hll_agg(CASE WHEN role = 'assistant' THEN conv_id END) AS b
         |  FROM transcripts)
         |SELECT hll_union_cardinality(a, b) AS u, hll_intersection(a, b) AS i,
-        |       hll_jaccard(a, b) AS j FROM s""".stripMargin).collect()(0)
+        |       hll_jaccard(a, b) AS j, hll_set_algebra(a, b) AS sa FROM s""".stripMargin)
+      .collect()(0)
     val exact = transcripts.agg(
       countDistinct(when(col("role") === "user" || col("role") === "assistant",
         col("conv_id"))).as("u"),
@@ -91,10 +92,16 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exactU = exact.getLong(0)
     val exactI = exact.getLong(1) + exact.getLong(2) - exactU
     val tol = math.max(2.0, exactU * 0.02)
-    assert(math.abs(est.getDouble(0) - exactU) <= tol, s"union ${est.getDouble(0)} vs $exactU")
+    // hll_union_cardinality follows hll_cardinality's rounded-Long convention
+    assert(math.abs(est.getLong(0) - exactU) <= tol, s"union ${est.getLong(0)} vs $exactU")
     assert(math.abs(est.getDouble(1) - exactI) <= tol, s"inter ${est.getDouble(1)} vs $exactI")
     assert(math.abs(est.getDouble(2) - exactI.toDouble / exactU) <= 0.02,
       s"jaccard ${est.getDouble(2)}")
+    // the one-pass struct agrees with the scalar accessors exactly
+    val sa = est.getStruct(3)
+    assert(math.rint(sa.getDouble(0)).toLong == est.getLong(0)
+      && sa.getDouble(1) == est.getDouble(1) && sa.getDouble(2) == est.getDouble(2),
+      s"struct $sa != scalars")
   }
 
   test("Dataset.agg typed path gives the same sketch as SQL path") {
