@@ -238,18 +238,103 @@ object SketchJob {
   def finalResults(spark: SparkSession, cfg: Config): DataFrame =
     finalResultsFrom(mergeCheckpoints(spark, cfg))
 
+  /** Level-1 bucket width of the deterministic tree merge: checkpoint rows
+    * with `partition_id` in [k*fanout, (k+1)*fanout) fold together (in id
+    * order) into bucket partial k, then level 2 folds the bucket partials
+    * (in bucket order) into one row per role. At the 100 TB envelope
+    * (~10k checkpoint chunks) this is ~160 level-1 folds of ≤64 states each
+    * — bounded task memory, two shuffles of a table that is ~0.1% of the
+    * input by construction.
+    */
+  val MergeFanout = 64
+
+  /** Fold one run of same-(role,bucket) checkpoint rows — already sorted by
+    * partition_id — into a single partial. Decodes each sketch once and
+    * merges in ascending id order, so the result is a pure function of the
+    * run's CONTENTS and the canonical order, never of arrival order.
+    */
+  private def foldRun(first: PartitionSketches,
+      rest: Iterator[PartitionSketches], outPid: Int): PartitionSketches = {
+    var rowsSeen = first.rows_seen
+    var wallMs = first.wall_ms
+    val hll = HllSketch.fromBytes(first.hll_conv)
+    val cms = CmsSketch.fromBytes(first.cms_tool)
+    val topk = SpaceSavingSketch.fromBytes(first.topk_tool)
+    val td = TDigestSketch.fromBytes(first.tdigest_len)
+    val kll = KllSketch.fromBytes(first.kll_len)
+    val bloom = BloomSketch.fromBytes(first.bloom_conv)
+    rest.foreach { r =>
+      rowsSeen += r.rows_seen
+      wallMs = math.max(wallMs, r.wall_ms)
+      hll.mergeInPlace(HllSketch.fromBytes(r.hll_conv))
+      cms.mergeInPlace(CmsSketch.fromBytes(r.cms_tool))
+      topk.mergeInPlace(SpaceSavingSketch.fromBytes(r.topk_tool))
+      td.mergeInPlace(TDigestSketch.fromBytes(r.tdigest_len))
+      kll.mergeInPlace(KllSketch.fromBytes(r.kll_len))
+      bloom.unionInPlace(BloomSketch.fromBytes(r.bloom_conv))
+    }
+    PartitionSketches(outPid, first.role, rowsSeen, wallMs,
+      hll.toBytes, cms.toBytes, topk.toBytes, td.toBytes, kll.toBytes,
+      bloom.toBytes)
+  }
+
+  /** Group a partition's sorted row stream into key runs and fold each. */
+  private def foldSortedRuns(it: Iterator[PartitionSketches],
+      key: PartitionSketches => (String, Int)): Iterator[PartitionSketches] =
+    new Iterator[PartitionSketches] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): PartitionSketches = {
+        val first = buf.next()
+        val k = key(first)
+        val rest = new Iterator[PartitionSketches] {
+          def hasNext: Boolean = buf.hasNext && key(buf.head) == k
+          def next(): PartitionSketches = buf.next()
+        }
+        foldRun(first, rest, outPid = k._2)
+      }
+    }
+
+  /** Deterministic two-level tree merge (the north star's "treeReduce-style
+    * two-level merge", made order-canonical): level 1 folds checkpoint rows
+    * in ascending `partition_id` within fixed id-range buckets; level 2
+    * folds the bucket partials in ascending bucket id. The result is a pure
+    * function of the checkpoint CONTENTS.
+    *
+    * Why not `groupBy(role).agg(sketch merge UDAFs)`: Spark merges partial
+    * aggregation states in whatever order map outputs arrive, and even the
+    * INPUT order varies run to run — the wall_ms lineage embedded in each
+    * checkpoint perturbs compressed file sizes, which perturbs the
+    * binaryFile source's size-ordered bin packing. HLL/CMS/Bloom merges are
+    * algebraically order-free so they never noticed, but t-digest merge is
+    * greedy clustering (order-sensitive by construction; reference
+    * t-digest.js:169-188 folds sequentially for the same reason), and KLL /
+    * space-saving share the hazard in adversarial regimes. Observed before
+    * this canonicalization: a spark-submit kill→resume run and its
+    * uninterrupted twin agreed on every count, HLL, CMS, top-k, KLL and
+    * Bloom column bit-for-bit but moved len_p50_td/len_p99_td in the 4th
+    * significant digit — breaking run()'s "resume reproduces the identical
+    * final sketches" contract. With the canonical fold the contract holds
+    * under any arrival order, file packing, or scheduling.
+    */
+  def mergeDeterministic(parts: Dataset[PartitionSketches],
+      fanout: Int = MergeFanout): Dataset[PartitionSketches] = {
+    val bucket = (col("partition_id") / lit(fanout)).cast("int")
+    val level1 = parts
+      .repartition(col("role"), bucket)
+      .sortWithinPartitions(col("role"), col("partition_id"))
+      .mapPartitions(foldSortedRuns(_,
+        r => (r.role, r.partition_id / fanout)))(parts.encoder)
+    level1
+      .repartition(col("role"))
+      .sortWithinPartitions(col("role"), col("partition_id"))
+      .mapPartitions(foldSortedRuns(_, r => (r.role, -1)))(parts.encoder)
+  }
+
   def finalResultsFrom(parts: Dataset[PartitionSketches]): DataFrame = {
     val fns = SketchFunctions.default
-    parts
-      .groupBy(col("role"))
-      .agg(
-        sum(col("rows_seen")).as("turns"),
-        fns.hllMergeAgg(col("hll_conv")).as("hll_conv"),
-        fns.cmsMergeAgg(col("cms_tool")).as("cms_tool"),
-        fns.topkMergeAgg(col("topk_tool")).as("topk_tool"),
-        fns.tdigestMergeAgg(col("tdigest_len")).as("tdigest_len"),
-        fns.kllMergeAgg(col("kll_len")).as("kll_len"),
-        fns.bloomMergeAgg(col("bloom_conv")).as("bloom_conv"))
+    mergeDeterministic(parts)
+      .withColumnRenamed("rows_seen", "turns")
       .select(
         col("role"), col("turns"),
         fns.hllCardinality(col("hll_conv")).as("approx_distinct_convs"),

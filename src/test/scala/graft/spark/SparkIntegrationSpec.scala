@@ -253,6 +253,45 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(s"$tdir/job-out/_metrics.json").exists())
   }
 
+  test("SketchJob final merge is order-canonical under arbitrary arrival order") {
+    // The bug this pins down, observed through the real spark-submit path:
+    // checkpoint FILES embed wall_ms lineage, so their compressed sizes vary
+    // run to run, which reorders the binaryFile source's size-sorted bin
+    // packing, which reordered the old groupBy.agg merge — t-digest merge is
+    // greedy clustering, so a kill→resume run and its uninterrupted twin
+    // disagreed on len_p50_td/len_p99_td while every order-free sketch
+    // matched bit-for-bit. mergeDeterministic must yield byte-identical
+    // final states for ANY presentation (order, partitioning) of the same
+    // checkpoint rows.
+    val cfg = SketchJob.Config(
+      input = s"$tdir/transcripts",
+      output = s"$tdir/canon-out",
+      checkpointDir = s"$tdir/canon-ckpt")
+    SketchJob.run(spark, cfg)
+    val parts = SketchJob.mergeCheckpoints(spark, cfg)
+    assert(parts.select("partition_id").distinct().count() >= 3,
+      "fixture must span several checkpoint partitions")
+    val presentations = Seq(
+      parts,
+      parts.orderBy(col("partition_id").desc).repartition(7),
+      parts.orderBy(rand(42)).coalesce(1),
+      parts.repartition(13, col("rows_seen")))
+    // fanout 2 forces a real two-level tree even on the small fixture
+    def states(ds: org.apache.spark.sql.Dataset[graft.jobs.PartitionSketches]) =
+      SketchJob.mergeDeterministic(ds, fanout = 2).collect().sortBy(_.role)
+        .map(p => (p.role, p.rows_seen, p.hll_conv.toSeq, p.cms_tool.toSeq,
+          p.topk_tool.toSeq, p.tdigest_len.toSeq, p.kll_len.toSeq,
+          p.bloom_conv.toSeq)).toSeq
+    val ref = states(presentations.head)
+    presentations.tail.foreach { p =>
+      assert(states(p) == ref, "merged sketch bytes differ across presentations")
+    }
+    // NOTE deliberately NOT asserted: fanout-invariance. t-digest merge is
+    // greedy clustering, so different tree SHAPES give (deterministically)
+    // different digests — which is why MergeFanout is a fixed constant, not
+    // a tuning knob: determinism is per-shape, and the shape is pinned.
+  }
+
   test("many-group agg survives sort-based fallback (buffer serde mid-agg)") {
     // force ObjectHashAggregate to spill to the sort-based path almost
     // immediately: buffers get serialized/merged through the fallback,
