@@ -294,6 +294,34 @@ object SparkEntry {
       |FROM sess
       |ORDER BY user_id, first_ts_ms""".stripMargin
 
+  /** Exact all-pairs 5-gram Jaccard over the documents table at the 0.8
+    * gate — the ground truth BOTH near-dup-by-Jaccard candidate generators
+    * (MinHash-LSH banding and KMV bottom-k shingle blocking) must recover
+    * exactly: their final gate is the exact Jaccard, so false positives are
+    * impossible and the oracle check is a pure recall test.
+    */
+  private val ExactNgramJaccardSql: String =
+    """WITH sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS g
+      |            FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+      |                  FROM documents WHERE length(text) >= 5)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** KMV blocking keys per document for q_ngram_jaccard_near_dup: miss
+    * probability at the J >= 0.8 gate is (1-J)^k <= 4.1e-9 (see
+    * TextFunctions.minKShingleHashes), and the blocking fan-out is a hard
+    * <= 12 rows/doc bound independent of document length.
+    */
+  private val NgramBlockK = 12
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CMS point queries (count-min.js:67-78): exact on the small domain
@@ -780,6 +808,39 @@ object SparkEntry {
       // than LshBucketCap occupants overflows the agg (cap + 1 ids) and
       // the between-filter drops it, exactly as the anti-join did.
       val pairs = banded.groupBy(col("band"))
+        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(2, LshBucketCap))
+        .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
+        .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
+        .distinct()
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          tfns.exactJaccardUdf(col("ta"), col("tb")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+    // n-gram Jaccard near-dup dedup — the 4th dedup family alongside exact /
+    // MinHash-LSH / SimHash / embedding-cosine: candidates come straight
+    // from the n-gram sets themselves. Each doc emits its KMV bottom-k
+    // (k=12) smallest-hashed distinct 5-gram shingles as blocking keys —
+    // no signature structure at all — docs sharing a sampled shingle meet
+    // in an ingest-capped bucket, and every candidate pair is verified
+    // with the EXACT n-gram Jaccard before the >= 0.8 gate. False
+    // positives are impossible (exact gate); the blocking miss probability
+    // is (1-J)^12 <= 4.1e-9 at the gate (minKShingleHashes scaladoc has
+    // the subset argument). Same closed-form truth as q_minhash_near_dup
+    // reached by an independent candidate generator with a HARD <= 12
+    // rows/doc fan-out bound (vs 16 band rows + a K-hash signature per
+    // shingle): ONE bucket shuffle, capped buckets, pair-dedup before the
+    // text join-back.
+    "q_ngram_jaccard_near_dup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs
+        .select(col("doc_id"),
+          explode(tfns.minKShinglesUdf(col("text"), lit(NgramBlockK))).as("g"))
+        .groupBy(col("g"))
         .agg(tfns.cappedIdsAgg(LshBucketCap)(col("doc_id")).as("ids"))
         .filter(size(col("ids")).between(2, LshBucketCap))
         .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
@@ -1594,20 +1655,8 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok,
         |       CAST(2 AS BIGINT) AS batches, TRUE AS assign_once_ok
         |FROM embeddings WHERE vec_id < 200""".stripMargin,
-    "q_minhash_near_dup" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS g
-        |            FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
-        |                  FROM documents WHERE length(text) >= 5)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-        |FROM inter
-        |JOIN sz sa ON sa.doc_id = doc_a
-        |JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_near_dup" -> ExactNgramJaccardSql,
+    "q_ngram_jaccard_near_dup" -> ExactNgramJaccardSql,
     "q_embed_near_dup" ->
       s"""SELECT vec_id AS id_a, vec_id + $SynthDupOffset AS id_b
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin,

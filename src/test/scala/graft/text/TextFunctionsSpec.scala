@@ -106,6 +106,38 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(TextFunctions.cosine(Seq(1f, 1f), Seq(1f, 0f)) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("minKShingleHashes: deterministic bottom-k with the KMV subset property") {
+    val a = "the quick brown fox jumps over the lazy dog and keeps on running far"
+    val b = a.replace("jumps", "leaps") // near-duplicate
+    val ka = TextFunctions.minKShingleHashes(a, 5, 12)
+    assert(ka.toSeq == TextFunctions.minKShingleHashes(a, 5, 12).toSeq, "deterministic")
+    assert(ka.length == 12 && ka.toSeq == ka.sorted.toSeq && ka.distinct.length == 12)
+    // case-insensitive like exactShingleJaccard
+    assert(TextFunctions.minKShingleHashes(a.toUpperCase, 5, 12).toSeq == ka.toSeq)
+    // subset property behind the recall bound: every bottom-k hash of the
+    // UNION that belongs to a doc is in that doc's own bottom-k — so a
+    // union-bottom-k hash in the intersection is a shared blocking key
+    val kb = TextFunctions.minKShingleHashes(b, 5, 12).toSet
+    // the subset law, tested directly on the two docs' full hash sets:
+    // bottom-k of the union of hash sets, restricted to each doc's set
+    def allHashes(t: String): Set[Long] = {
+      val lo = t.toLowerCase(java.util.Locale.ROOT)
+      (0 to lo.length - 5).map(i => lo.substring(i, i + 5)).distinct
+        .map(g => TextFunctions.minKShingleHashes(g, 5, 1).head).toSet
+    }
+    val ha = allHashes(a); val hb = allHashes(b)
+    val unionBottomK = (ha ++ hb).toSeq.sorted.take(12)
+    assert(unionBottomK.filter(ha).forall(ka.toSet), "union bottom-k ∩ A ⊆ bottom-k(A)")
+    assert(unionBottomK.filter(hb).forall(kb), "union bottom-k ∩ B ⊆ bottom-k(B)")
+    // and the near-dup pair therefore shares at least one key
+    assert(ka.toSet.intersect(kb).nonEmpty, "near-duplicates share a blocking key")
+    // degenerate inputs
+    assert(TextFunctions.minKShingleHashes(null, 5, 12).isEmpty)
+    assert(TextFunctions.minKShingleHashes("abc", 5, 12).isEmpty)
+    assert(TextFunctions.minKShingleHashes(a, 5, 3).length == 3)
+    assert(TextFunctions.minKShingleHashes("abcde", 5, 12).length == 1)
+  }
+
   test("idPairs enumerates each unordered pair once, sorted") {
     val ps = TextFunctions.idPairs(Seq(5L, 1L, 9L))
     assert(ps.toSet == Set(TextFunctions.IdPair(1, 5), TextFunctions.IdPair(1, 9),
