@@ -854,6 +854,71 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     },
+    // The COMPOSED training-data curation pipeline — what a 100 TB corpus
+    // job actually runs, end to end in one query: language-ID filter →
+    // quality-score threshold → exact dedup (keep the smallest doc_id per
+    // normalized fingerprint) → near-dup removal (remove every doc with a
+    // smaller-id survivor at exact 5-gram Jaccard >= 0.8, candidates from
+    // KMV bottom-k shingle blocking) → funnel counts + kept token budget.
+    // Every stage reuses an operator that already has its own oracle row
+    // (q_text_profile / q_dedup_exact / q_ngram_jaccard_near_dup); this row
+    // gates their COMPOSITION, stage by stage, against one closed-form
+    // DuckDB funnel. Shape notes for scale:
+    //  * stages 1–3 are counted in ONE scan via conditional aggregation
+    //    (no per-stage pass);
+    //  * exact dedup carries the survivor row through the groupBy with
+    //    min_by(struct(...)) — no join-back to re-attach text;
+    //  * near-dup candidates use the hard <= NgramBlockK rows/doc blocking
+    //    fan-out with ingest-capped buckets and pair-dedup before the text
+    //    join-back (the proven q_ngram_jaccard_near_dup shape, here over
+    //    the survivor subset where bucket occupancy is strictly smaller);
+    //  * the removal set joins back as an equi left_anti join (shuffle-
+    //    bounded; at 100 TB the profile subtree is shared by the funnel
+    //    branches via checkpoint/persist of `surv` — at verify scale the
+    //    recompute is cheaper than the cache).
+    // The quality threshold compares doubles that are bit-identical across
+    // engines (q_text_profile proves the formula replication), so the 0.85
+    // cut is deterministic.
+    "q_corpus_curation" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val prof = docs.select(
+        col("doc_id"), col("text"),
+        tfns.tokenCountCol(col("text")).cast("long").as("tokens"),
+        tfns.fingerprintUdf(col("text")).as("fp"),
+        tfns.qualityScoreUdf(col("text")).as("quality"),
+        tfns.langIdUdf(col("text")).as("lang"))
+      val langOk = col("lang").isin("en", "pt")
+      val qOk = langOk && col("quality") >= 0.85
+      val head = prof.agg(
+        count(lit(1)).as("docs_total"),
+        count(when(langOk, 1)).as("lang_kept"),
+        count(when(qOk, 1)).as("quality_kept"))
+      val surv = prof.filter(qOk)
+        .groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("text"), col("tokens")),
+          col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.tokens").as("tokens"))
+      val removal = surv
+        .select(col("doc_id"),
+          explode(tfns.minKShinglesUdf(col("text"), lit(NgramBlockK))).as("g"))
+        .groupBy(col("g"))
+        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(2, LshBucketCap))
+        .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
+        .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
+        .distinct()
+        .join(surv.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(surv.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .filter(tfns.exactJaccardUdf(col("ta"), col("tb")) >= 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val fin = surv.join(removal, Seq("doc_id"), "left_anti")
+      val exactKept = surv.agg(count(lit(1)).as("exact_kept"))
+      val tail = fin.agg(
+        count(lit(1)).as("neardup_kept"),
+        sum(col("tokens")).as("tokens_kept"))
+      head.crossJoin(exactKept).crossJoin(tail)
+    },
     // SimHash near-dup recovery with planted ground truth, end to end:
     // 64-bit token SimHash → 8×8-bit banding (pigeonhole: any pair with
     // hamming ≤ 7 shares a band) → capped bucket pair expansion → id-pair
@@ -1657,6 +1722,73 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 200""".stripMargin,
     "q_minhash_near_dup" -> ExactNgramJaccardSql,
     "q_ngram_jaccard_near_dup" -> ExactNgramJaccardSql,
+    // the composed curation funnel in closed form: the profile CTEs are the
+    // q_text_profile formulas verbatim (bit-identical doubles), the exact-
+    // dedup key is the q_dedup_exact normalized fingerprint, and the
+    // near-dup truth is the exact all-pairs 5-gram Jaccard restricted to
+    // the quality/dedup survivors
+    "q_corpus_curation" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text,
+        |    length(text) AS n,
+        |    len(regexp_extract_all(text, '\p{L}')) AS alpha,
+        |    length(text) - length(replace(text, ' ', '')) AS space,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
+        |    len(regexp_extract_all(text, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS cjk
+        |  FROM documents),
+        |v AS (
+        |  SELECT *,
+        |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','you'], x))) AS h_en,
+        |    len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','ich','zu'], x))) AS h_de,
+        |    len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','pas','pour','que','une','dans','je'], x))) AS h_fr,
+        |    len(list_filter(ltoks, x -> list_contains(['el','la','los','las','es','de','que','una','para','por','yo'], x))) AS h_es,
+        |    len(list_filter(ltoks, x -> list_contains(['il','la','che','di','non','per','una','sono','con','del'], x))) AS h_it,
+        |    len(list_filter(ltoks, x -> list_contains(['o','a','os','de','que','uma','para','com','não','por'], x))) AS h_pt,
+        |    len(list_filter(ltoks, x -> list_contains(['de','het','een','van','en','is','niet','met','voor','dat'], x))) AS h_nl
+        |  FROM f),
+        |w AS (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_it, h_pt, h_nl) AS best FROM v),
+        |p AS (SELECT doc_id, text,
+        |  CAST(len(toks) AS BIGINT) AS tokens,
+        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+        |  CASE WHEN n = 0 THEN 0.0e0 ELSE
+        |    0.25e0 * (least(1.0e0, n / 200.0e0)
+        |      + CAST(alpha AS DOUBLE) / n
+        |      + CASE WHEN CAST(n - space AS DOUBLE) / (space + 1) >= 2 AND CAST(n - space AS DOUBLE) / (space + 1) <= 12 THEN 1.0e0 ELSE 0.5e0 END
+        |      + CASE WHEN len(toks) = 0 THEN 0.0e0 ELSE least(1.0e0, len(list_distinct(toks)) * 2.0e0 / len(toks)) END)
+        |  END AS quality,
+        |  CASE
+        |    WHEN alpha > 0 AND CAST(cjk AS DOUBLE) / alpha > 0.3e0 THEN 'zh'
+        |    WHEN len(ltoks) = 0 THEN 'und'
+        |    WHEN best = 0 OR best * 20 < len(ltoks) THEN 'und'
+        |    WHEN h_en = best THEN 'en' WHEN h_de = best THEN 'de'
+        |    WHEN h_fr = best THEN 'fr' WHEN h_es = best THEN 'es'
+        |    WHEN h_it = best THEN 'it' WHEN h_pt = best THEN 'pt'
+        |    ELSE 'nl' END AS lang
+        |  FROM w),
+        |lk AS (SELECT * FROM p WHERE lang IN ('en', 'pt')),
+        |qk AS (SELECT * FROM lk WHERE quality >= 0.85e0),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM qk GROUP BY fp),
+        |surv AS (SELECT p.doc_id, p.text, p.tokens FROM p JOIN keepers USING (doc_id)),
+        |sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS g
+        |       FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+        |             FROM surv WHERE length(text) >= 5)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT doc_b AS doc_id FROM inter
+        |       JOIN sz sa ON sa.doc_id = doc_a
+        |       JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0),
+        |fin AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd))
+        |SELECT (SELECT count(*) FROM p) AS docs_total,
+        |       (SELECT count(*) FROM lk) AS lang_kept,
+        |       (SELECT count(*) FROM qk) AS quality_kept,
+        |       (SELECT count(*) FROM surv) AS exact_kept,
+        |       (SELECT count(*) FROM fin) AS neardup_kept,
+        |       (SELECT CAST(sum(tokens) AS BIGINT) FROM fin) AS tokens_kept""".stripMargin,
     "q_embed_near_dup" ->
       s"""SELECT vec_id AS id_a, vec_id + $SynthDupOffset AS id_b
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin,
