@@ -315,12 +315,99 @@ object SparkEntry {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** KMV blocking keys per document for q_ngram_jaccard_near_dup: miss
-    * probability at the J >= 0.8 gate is (1-J)^k <= 4.1e-9 (see
-    * TextFunctions.minKShingleHashes), and the blocking fan-out is a hard
-    * <= 12 rows/doc bound independent of document length.
+  /** Count-gated prefix extension: any J >= τ pair must share at least
+    * min(K, α) of each other's (|X| − α + K)-prefixes — see
+    * prefixJaccardCandidates. K = 12 cuts the candidate mass 132x on the
+    * verify corpus while staying exact.
     */
-  private val NgramBlockK = 12
+  private val PrefixGateK = 12
+
+  /** Candidate pairs for EXACT n-gram-Jaccard similarity at the J >= τ =
+    * 0.8 gate via COUNT-GATED prefix filtering (the AllPairs/SSJoin prefix
+    * filter — Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06 — extended
+    * with the K-th-common-token rank bound of adaptive prefix joins, Wang
+    * et al. SIGMOD'12).
+    *
+    * Lemma (exact, no tail): fix any global total order on shingles and
+    * let α = ⌈τ·max(|A|,|B|)⌉ (valid since J ≥ τ ⇒ |A∩B| ≥ τ|A∪B| ≥
+    * τ·max). Let t_j be the j-th smallest element of A∩B. At most
+    * |X| − |A∩B| ≤ |X| − α non-intersection tokens of X precede t_j, so
+    * rank_X(t_j) ≤ (j−1) + (|X| − α) + 1 ≤ |X| − α + K for all j ≤
+    * min(K, α) — i.e. BOTH documents' (|X| − ⌈τ|X|⌉ + K)-prefixes contain
+    * the first min(K, α) common tokens. Gating candidate pairs on
+    * shared-prefix-token count ≥ min(K, α) therefore has recall EXACTLY 1.
+    *
+    * Why the count gate matters: presence-based blocking (share ≥ 1 key)
+    * cannot separate moderate from high Jaccard on templated corpora.
+    * Measured on the sf0.1 documents table (5000 docs, vocabulary only
+    * 2041 distinct 5-gram shingles, 3.7M pairs at J ∈ [0.2, 0.4) vs 256
+    * at J ≥ 0.8): bottom-12 KMV blocking → 6.2M candidates (25.6 s);
+    * plain 1-token prefixes → 8.2M; the K = 12 count gate → 62k (true
+    * pairs' measured min shared count is 14, comfortably over the gate).
+    * The rarest-first order (global document frequency, ties by hash)
+    * keeps prefix buckets small on organic corpora too.
+    *
+    * The gate needs no per-pair sizes: for any pair whose larger set has
+    * ≥ 15 shingles, α = ⌈0.8·max⌉ ≥ 12 = K, so `shared ≥ K` is exactly
+    * the lemma gate. Documents with ≤ 14 distinct shingles ("tiny" —
+    * degenerate sub-70-char texts) have α ≤ K and their WHOLE set inside
+    * the prefix (p = sz − α + K ≥ sz), so a tiny–tiny true pair shares
+    * ALL of its α ≥ 1 intersection tokens: admitting every tiny–tiny
+    * bucket pair keeps recall exact, and the downstream exact-Jaccard
+    * verify keeps precision exact. The tiny bit rides inside the bucket
+    * id (id·2 + tiny), costing nothing.
+    *
+    * Distributed shape, ALL codegen outside the one shingle UDF: one
+    * document-frequency agg (a word-count), one per-doc window sort
+    * (prefix ranks), one bucket agg with the ingest cap as the
+    * degenerate-bucket guardrail (no bucket at any verify SF comes near
+    * it; a capped drop would undercount a pair and surface as a red
+    * oracle row), then pair-hit counting — built-in explode + a
+    * higher-order array filter generate the Σ C(occ,2) hit rows with no
+    * UDF boxing, and map-side partial aggregation means the shuffle
+    * carries one (id_a, id_b) row per DISTINCT pair, not per hit.
+    * Downstream callers re-verify every candidate with the exact Jaccard,
+    * so false positives are impossible and false negatives are impossible
+    * by the lemma: the row is deterministic by construction, not w.o.p.
+    */
+  private def prefixJaccardCandidates(docs: DataFrame): DataFrame = {
+    // hashed distinct shingle set + its size from ONE UDF pass
+    val sets = docs
+      .select(col("doc_id"), tfns.shingleHashesUdf(col("text")).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("sz"),
+        explode(col("gs")).as("g"))
+    // global document frequency — defines the rarest-first total order (df, g)
+    val dfreq = sets.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    // per-doc prefix: the sz − ⌈0.8·sz⌉ + K rarest shingles, in exact
+    // integer arithmetic (⌈0.8·sz⌉ = (4·sz+4) DIV 5); the bucket id packs
+    // the tiny-document bit alongside the doc id
+    val prefixes = sets.join(dfreq, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - expr("(4*sz+4) DIV 5") + PrefixGateK)
+      .select((col("doc_id") * 2 + when(col("sz") <= 14, 1L).otherwise(0L)).as("xid"),
+        col("g"))
+    // fan the few (vocabulary-sized) bucket rows out over many small tasks
+    // BEFORE the C(occ,2) pair expansion: with the default layout a handful
+    // of fat tasks own all the hits and the count agg's per-task partial
+    // hash maps grow to millions of keys and spill (measured: 30.4 s →
+    // 5.7 s at sf0.1). Per-bucket work is bounded by the cap (≤ C(cap,2)),
+    // so row-count balancing is work balancing here.
+    val fanout = docs.sparkSession.sessionState.conf.numShufflePartitions * 8
+    prefixes.groupBy(col("g"))
+      .agg(tfns.cappedIdsAgg(LshBucketCap)(col("xid")).as("ids"))
+      .filter(size(col("ids")).between(2, LshBucketCap))
+      .repartition(fanout)
+      // codegen pair expansion: explode occupants, then the larger ids of
+      // the same bucket via a higher-order array filter — no UDF, no boxing
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(filter(col("ids"), x => x > col("a"))).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= PrefixGateK ||
+        (col("a") % 2 === 1 && col("b") % 2 === 1))
+      .select(expr("a DIV 2").as("doc_a"), expr("b DIV 2").as("doc_b"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -823,29 +910,20 @@ object SparkEntry {
     },
     // n-gram Jaccard near-dup dedup — the 4th dedup family alongside exact /
     // MinHash-LSH / SimHash / embedding-cosine: candidates come straight
-    // from the n-gram sets themselves. Each doc emits its KMV bottom-k
-    // (k=12) smallest-hashed distinct 5-gram shingles as blocking keys —
-    // no signature structure at all — docs sharing a sampled shingle meet
-    // in an ingest-capped bucket, and every candidate pair is verified
-    // with the EXACT n-gram Jaccard before the >= 0.8 gate. False
-    // positives are impossible (exact gate); the blocking miss probability
-    // is (1-J)^12 <= 4.1e-9 at the gate (minKShingleHashes scaladoc has
-    // the subset argument). Same closed-form truth as q_minhash_near_dup
-    // reached by an independent candidate generator with a HARD <= 12
-    // rows/doc fan-out bound (vs 16 band rows + a K-hash signature per
-    // shingle): ONE bucket shuffle, capped buckets, pair-dedup before the
-    // text join-back.
+    // from the n-gram sets themselves via the prefix-filtered EXACT
+    // similarity join (see prefixJaccardCandidates — recall is exactly 1
+    // by the prefix-filter lemma, no signature structure, no probabilistic
+    // tail), and every candidate pair is verified with the EXACT n-gram
+    // Jaccard before the >= 0.8 gate, so BOTH false negatives and false
+    // positives are impossible by construction. Same closed-form truth as
+    // q_minhash_near_dup reached by a deterministic-by-theorem generator:
+    // this row distinguishes the exact-join family from the probabilistic
+    // MinHash-LSH family. (The first KMV bottom-k implementation was
+    // replaced after measurement — see the prefixJaccardCandidates
+    // scaladoc for the 6.2M → 62k candidate collapse.)
     "q_ngram_jaccard_near_dup" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val pairs = docs
-        .select(col("doc_id"),
-          explode(tfns.minKShinglesUdf(col("text"), lit(NgramBlockK))).as("g"))
-        .groupBy(col("g"))
-        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("doc_id")).as("ids"))
-        .filter(size(col("ids")).between(2, LshBucketCap))
-        .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
-        .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
-        .distinct()
+      val pairs = prefixJaccardCandidates(docs)
       pairs
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
@@ -859,7 +937,8 @@ object SparkEntry {
     // quality-score threshold → exact dedup (keep the smallest doc_id per
     // normalized fingerprint) → near-dup removal (remove every doc with a
     // smaller-id survivor at exact 5-gram Jaccard >= 0.8, candidates from
-    // KMV bottom-k shingle blocking) → funnel counts + kept token budget.
+    // the prefix-filtered exact similarity join) → funnel counts + kept
+    // token budget.
     // Every stage reuses an operator that already has its own oracle row
     // (q_text_profile / q_dedup_exact / q_ngram_jaccard_near_dup); this row
     // gates their COMPOSITION, stage by stage, against one closed-form
@@ -868,10 +947,11 @@ object SparkEntry {
     //    (no per-stage pass);
     //  * exact dedup carries the survivor row through the groupBy with
     //    min_by(struct(...)) — no join-back to re-attach text;
-    //  * near-dup candidates use the hard <= NgramBlockK rows/doc blocking
-    //    fan-out with ingest-capped buckets and pair-dedup before the text
-    //    join-back (the proven q_ngram_jaccard_near_dup shape, here over
-    //    the survivor subset where bucket occupancy is strictly smaller);
+    //  * near-dup candidates use the prefix-filtered exact similarity join
+    //    (recall 1 by lemma, see prefixJaccardCandidates) with ingest-capped
+    //    buckets and pair-dedup before the text join-back (the proven
+    //    q_ngram_jaccard_near_dup shape, here over the survivor subset
+    //    where bucket occupancy is strictly smaller);
     //  * the removal set joins back as an equi left_anti join (shuffle-
     //    bounded; at 100 TB the profile subtree is shared by the funnel
     //    branches via checkpoint/persist of `surv` — at verify scale the
@@ -899,15 +979,7 @@ object SparkEntry {
           col("doc_id")).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
           col("r.tokens").as("tokens"))
-      val removal = surv
-        .select(col("doc_id"),
-          explode(tfns.minKShinglesUdf(col("text"), lit(NgramBlockK))).as("g"))
-        .groupBy(col("g"))
-        .agg(tfns.cappedIdsAgg(LshBucketCap)(col("doc_id")).as("ids"))
-        .filter(size(col("ids")).between(2, LshBucketCap))
-        .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
-        .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
-        .distinct()
+      val removal = prefixJaccardCandidates(surv.select(col("doc_id"), col("text")))
         .join(surv.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(surv.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .filter(tfns.exactJaccardUdf(col("ta"), col("tb")) >= 0.8)

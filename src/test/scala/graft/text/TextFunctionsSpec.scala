@@ -138,6 +138,39 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(TextFunctions.minKShingleHashes("abcde", 5, 12).length == 1)
   }
 
+  test("shingleHashes: the full distinct set, consistent with the KMV bottom-k") {
+    val a = "the quick brown fox jumps over the lazy dog and keeps on running far"
+    val all = TextFunctions.shingleHashes(a, 5)
+    // one hash per DISTINCT lowercased shingle
+    val lo = a.toLowerCase(java.util.Locale.ROOT)
+    val distinctShingles = (0 to lo.length - 5).map(i => lo.substring(i, i + 5)).distinct
+    assert(all.length == distinctShingles.length)
+    assert(all.distinct.length == all.length, "hash collisions within one doc")
+    // same hash/seed as minKShingleHashes: bottom-k == sorted full set take k
+    assert(all.sorted.take(12).toSeq ==
+      TextFunctions.minKShingleHashes(a, 5, 12).toSeq)
+    assert(TextFunctions.shingleHashes(a.toUpperCase, 5).sorted.toSeq == all.sorted.toSeq)
+    // prefix-filter lemma, checked directly on a true near-dup pair: with
+    // tau = 0.8 and prefix length |X| - ceil(0.8|X|) + K under ANY fixed
+    // total order (here: ascending hash), the pair shares >= min(K, alpha)
+    // prefix elements
+    val b = a.replace("dog", "dig") // single-char edit: J stays >= 0.8
+    val hb = TextFunctions.shingleHashes(b, 5)
+    val sa = all.toSet; val sb = hb.toSet
+    val inter = sa.intersect(sb).size
+    val jac = inter.toDouble / (sa.size + sb.size - inter)
+    assert(jac >= 0.8, s"test pair must be a true near-dup, got J=$jac")
+    val K = 12
+    val alpha = math.ceil(0.8 * math.max(sa.size, sb.size)).toInt
+    def prefix(h: Array[Long]): Set[Long] =
+      h.sorted.take(h.length - (4 * h.length + 4) / 5 + K).toSet
+    val shared = prefix(all).intersect(prefix(hb)).size
+    assert(shared >= math.min(K, alpha),
+      s"lemma violated: shared=$shared alpha=$alpha")
+    assert(TextFunctions.shingleHashes(null, 5).isEmpty)
+    assert(TextFunctions.shingleHashes("abc", 5).isEmpty)
+  }
+
   test("idPairs enumerates each unordered pair once, sorted") {
     val ps = TextFunctions.idPairs(Seq(5L, 1L, 9L))
     assert(ps.toSet == Set(TextFunctions.IdPair(1, 5), TextFunctions.IdPair(1, 9),
