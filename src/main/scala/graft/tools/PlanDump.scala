@@ -52,6 +52,10 @@ object PlanDump {
       graft.SparkEntry.queries("q_salted_agg")(spark, sf))
     dump("q_hll_set_algebra (ONE pruned scan: conditional HLL aggs; the Expand node feeds only the oracle-side COUNT(DISTINCT)s)",
       graft.SparkEntry.queries("q_hll_set_algebra")(spark, sf))
+    dump("q_ngram_jaccard_near_dup (count-gated prefix join: df agg -> per-doc rank window -> capped bucket agg -> fan-out repartition -> codegen pair expansion -> shared-count gate -> exact verify)",
+      graft.SparkEntry.queries("q_ngram_jaccard_near_dup")(spark, sf))
+    dump("q_corpus_curation (funnel: ONE conditional-agg scan for stages 1-3, min_by exact dedup, prefix-join near-dup removal via left_anti)",
+      graft.SparkEntry.queries("q_corpus_curation")(spark, sf))
 
     // the q_ann_ivf_index operator runs eagerly (two probe batches against
     // one persisted index), so dump its SEARCH plan explicitly: the probe
