@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.mm.Multimodal
 import graft.sketch.agg.{SketchConfig, SketchFunctions}
-import graft.text.TextSqlFunctions
+import graft.text.{ConnectedComponents, TextSqlFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -300,20 +300,88 @@ object SparkEntry {
     * exactly: their final gate is the exact Jaccard, so false positives are
     * impossible and the oracle check is a pure recall test.
     */
-  private val ExactNgramJaccardSql: String =
-    """WITH sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS g
+  /** Shared DuckDB CTE chain replicating the q_text_profile per-document
+    * formulas (token count, normalized fingerprint, quality score,
+    * language-ID vote) — bit-identical doubles across engines. Ends in a
+    * CTE `p(doc_id, text, tokens, fp, quality, lang)`; interpolate as
+    * `WITH $DocProfileSqlPrelude, ...` (the remainder must be
+    * backslash-free: the s-interpolator processes escapes).
+    */
+  private val DocProfileSqlPrelude: String =
+    """f AS (
+      |  SELECT doc_id,
+      |    text,
+      |    length(text) AS n,
+      |    len(regexp_extract_all(text, '\p{L}')) AS alpha,
+      |    length(text) - length(replace(text, ' ', '')) AS space,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
+      |    len(regexp_extract_all(text, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS cjk
+      |  FROM documents),
+      |v AS (
+      |  SELECT *,
+      |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','you'], x))) AS h_en,
+      |    len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','ich','zu'], x))) AS h_de,
+      |    len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','pas','pour','que','une','dans','je'], x))) AS h_fr,
+      |    len(list_filter(ltoks, x -> list_contains(['el','la','los','las','es','de','que','una','para','por','yo'], x))) AS h_es,
+      |    len(list_filter(ltoks, x -> list_contains(['il','la','che','di','non','per','una','sono','con','del'], x))) AS h_it,
+      |    len(list_filter(ltoks, x -> list_contains(['o','a','os','de','que','uma','para','com','não','por'], x))) AS h_pt,
+      |    len(list_filter(ltoks, x -> list_contains(['de','het','een','van','en','is','niet','met','voor','dat'], x))) AS h_nl
+      |  FROM f),
+      |w AS (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_it, h_pt, h_nl) AS best FROM v),
+      |p AS (SELECT doc_id, text,
+      |  CAST(len(toks) AS BIGINT) AS tokens,
+      |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+      |  CASE WHEN n = 0 THEN 0.0e0 ELSE
+      |    0.25e0 * (least(1.0e0, n / 200.0e0)
+      |      + CAST(alpha AS DOUBLE) / n
+      |      + CASE WHEN CAST(n - space AS DOUBLE) / (space + 1) >= 2 AND CAST(n - space AS DOUBLE) / (space + 1) <= 12 THEN 1.0e0 ELSE 0.5e0 END
+      |      + CASE WHEN len(toks) = 0 THEN 0.0e0 ELSE least(1.0e0, len(list_distinct(toks)) * 2.0e0 / len(toks)) END)
+      |  END AS quality,
+      |  CASE
+      |    WHEN alpha > 0 AND CAST(cjk AS DOUBLE) / alpha > 0.3e0 THEN 'zh'
+      |    WHEN len(ltoks) = 0 THEN 'und'
+      |    WHEN best = 0 OR best * 20 < len(ltoks) THEN 'und'
+      |    WHEN h_en = best THEN 'en' WHEN h_de = best THEN 'de'
+      |    WHEN h_fr = best THEN 'fr' WHEN h_es = best THEN 'es'
+      |    WHEN h_it = best THEN 'it' WHEN h_pt = best THEN 'pt'
+      |    ELSE 'nl' END AS lang
+      |  FROM w)""".stripMargin
+
+  private val NgramPairCtes: String =
+    """sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS g
       |            FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
       |                  FROM documents WHERE length(text) >= 5)),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
+      |          GROUP BY 1, 2)""".stripMargin
+
+  private val ExactNgramJaccardSql: String =
+    s"""WITH $NgramPairCtes
       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
       |FROM inter
       |JOIN sz sa ON sa.doc_id = doc_a
       |JOIN sz sb ON sb.doc_id = doc_b
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Transitive closure of the exact J >= 0.8 pair graph: component labels
+    * (min doc_id per component) via a recursive CTE — the ground truth for
+    * the distributed large-star/small-star clustering.
+    */
+  private val NeardupComponentsSql: String =
+    s"""WITH RECURSIVE $NgramPairCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |          JOIN sz sa ON sa.doc_id = doc_a
+      |          JOIN sz sb ON sb.doc_id = doc_b
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8e0),
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(n, r) AS (SELECT s, s FROM edges
+      |                UNION
+      |                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n)
+      |SELECT n AS doc_id, min(r) AS rep_id FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
   /** Count-gated prefix extension: any J >= τ pair must share at least
     * min(K, α) of each other's (|X| − α + K)-prefixes — see
@@ -931,6 +999,55 @@ object SparkEntry {
           tfns.exactJaccardUdf(col("ta"), col("tb")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
+    },
+    // Near-dup CLUSTERING: the verified pair set is a graph and a duplicate
+    // GROUP is its connected component (A~B, B~C put A,C together even when
+    // the pair A~C was never emitted) — the step after pair generation in a
+    // real curation funnel, where the survivor is one canonical doc per
+    // component. Labels come from the large-star/small-star O(log n)-round
+    // DataFrame algorithm (graft.text.ConnectedComponents); the oracle
+    // recomputes the exact pair set and takes its transitive closure with a
+    // recursive CTE, so chain-linked clusters gate the CLUSTERING itself,
+    // not just the pairs.
+    "q_neardup_components" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = prefixJaccardCandidates(docs)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .filter(tfns.exactJaccardUdf(col("ta"), col("tb")) >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      ConnectedComponents.run(pairs)
+        .select(col("node").as("doc_id"), col("rep").as("rep_id"))
+        .orderBy("doc_id")
+    },
+    // Deterministic quality-ranked selection under a per-language token
+    // budget — the sampling step that turns a curated corpus into a
+    // training mix: within each language stratum take documents in
+    // (quality DESC, doc_id) order until 30% of the stratum's tokens are
+    // spent. One window cumsum per stratum + one filter; at 100 TB the
+    // window sort shuffles once on the stratum key and everything else is
+    // map-side. The order key is total (doc_id tiebreak) so the kept set
+    // is closed-form; quality/lang/token formulas are the q_text_profile
+    // ones, bit-identical across engines.
+    "q_token_budget_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val prof = docs.select(col("doc_id"),
+        tfns.langIdUdf(col("text")).as("lang"),
+        tfns.qualityScoreUdf(col("text")).as("quality"),
+        tfns.tokenCountCol(col("text")).cast("long").as("tokens"))
+      val ord = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val budgets = prof.groupBy(col("lang"))
+        .agg(floor(sum(col("tokens")) * 0.3).as("budget"))
+      prof.withColumn("cum", sum(col("tokens")).over(ord))
+        .join(budgets, "lang")
+        .filter(col("cum") <= col("budget"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(col("tokens")).as("tokens_kept"),
+          min(col("quality")).as("min_quality"))
+        .orderBy("lang")
     },
     // The COMPOSED training-data curation pipeline — what a 100 TB corpus
     // job actually runs, end to end in one query: language-ID filter →
@@ -1794,51 +1911,31 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 200""".stripMargin,
     "q_minhash_near_dup" -> ExactNgramJaccardSql,
     "q_ngram_jaccard_near_dup" -> ExactNgramJaccardSql,
+    "q_neardup_components" -> NeardupComponentsSql,
+    // quality-ranked selection under a 30% per-language token budget; the
+    // window order is total (quality DESC, doc_id) so the kept set is
+    // closed-form, and sum(tokens)*0.3e0 / floor are the same IEEE double
+    // ops in both engines
+    "q_token_budget_sample" ->
+      s"""WITH $DocProfileSqlPrelude,
+        |b AS (SELECT lang, CAST(floor(sum(tokens) * 0.3e0) AS BIGINT) AS budget
+        |      FROM p GROUP BY lang),
+        |c AS (SELECT doc_id, lang, quality, tokens,
+        |        sum(tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM p),
+        |k AS (SELECT c.* FROM c JOIN b USING (lang) WHERE cum <= budget)
+        |SELECT lang, count(*) AS docs_kept,
+        |       CAST(sum(tokens) AS BIGINT) AS tokens_kept,
+        |       min(quality) AS min_quality
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // the composed curation funnel in closed form: the profile CTEs are the
     // q_text_profile formulas verbatim (bit-identical doubles), the exact-
     // dedup key is the q_dedup_exact normalized fingerprint, and the
     // near-dup truth is the exact all-pairs 5-gram Jaccard restricted to
     // the quality/dedup survivors
     "q_corpus_curation" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    text,
-        |    length(text) AS n,
-        |    len(regexp_extract_all(text, '\p{L}')) AS alpha,
-        |    length(text) - length(replace(text, ' ', '')) AS space,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
-        |    len(regexp_extract_all(text, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS cjk
-        |  FROM documents),
-        |v AS (
-        |  SELECT *,
-        |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','you'], x))) AS h_en,
-        |    len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','ich','zu'], x))) AS h_de,
-        |    len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','pas','pour','que','une','dans','je'], x))) AS h_fr,
-        |    len(list_filter(ltoks, x -> list_contains(['el','la','los','las','es','de','que','una','para','por','yo'], x))) AS h_es,
-        |    len(list_filter(ltoks, x -> list_contains(['il','la','che','di','non','per','una','sono','con','del'], x))) AS h_it,
-        |    len(list_filter(ltoks, x -> list_contains(['o','a','os','de','que','uma','para','com','não','por'], x))) AS h_pt,
-        |    len(list_filter(ltoks, x -> list_contains(['de','het','een','van','en','is','niet','met','voor','dat'], x))) AS h_nl
-        |  FROM f),
-        |w AS (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_it, h_pt, h_nl) AS best FROM v),
-        |p AS (SELECT doc_id, text,
-        |  CAST(len(toks) AS BIGINT) AS tokens,
-        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
-        |  CASE WHEN n = 0 THEN 0.0e0 ELSE
-        |    0.25e0 * (least(1.0e0, n / 200.0e0)
-        |      + CAST(alpha AS DOUBLE) / n
-        |      + CASE WHEN CAST(n - space AS DOUBLE) / (space + 1) >= 2 AND CAST(n - space AS DOUBLE) / (space + 1) <= 12 THEN 1.0e0 ELSE 0.5e0 END
-        |      + CASE WHEN len(toks) = 0 THEN 0.0e0 ELSE least(1.0e0, len(list_distinct(toks)) * 2.0e0 / len(toks)) END)
-        |  END AS quality,
-        |  CASE
-        |    WHEN alpha > 0 AND CAST(cjk AS DOUBLE) / alpha > 0.3e0 THEN 'zh'
-        |    WHEN len(ltoks) = 0 THEN 'und'
-        |    WHEN best = 0 OR best * 20 < len(ltoks) THEN 'und'
-        |    WHEN h_en = best THEN 'en' WHEN h_de = best THEN 'de'
-        |    WHEN h_fr = best THEN 'fr' WHEN h_es = best THEN 'es'
-        |    WHEN h_it = best THEN 'it' WHEN h_pt = best THEN 'pt'
-        |    ELSE 'nl' END AS lang
-        |  FROM w),
+      s"""WITH $DocProfileSqlPrelude,
         |lk AS (SELECT * FROM p WHERE lang IN ('en', 'pt')),
         |qk AS (SELECT * FROM lk WHERE quality >= 0.85e0),
         |keepers AS (SELECT min(doc_id) AS doc_id FROM qk GROUP BY fp),
