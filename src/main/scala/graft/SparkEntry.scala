@@ -1024,11 +1024,14 @@ object SparkEntry {
     // budget — the sampling step that turns a curated corpus into a
     // training mix: within each language stratum take documents in
     // (quality DESC, doc_id) order until 30% of the stratum's tokens are
-    // spent. One window cumsum per stratum + one filter; at 100 TB the
-    // window sort shuffles once on the stratum key and everything else is
-    // map-side. The order key is total (doc_id tiebreak) so the kept set
-    // is closed-form; quality/lang/token formulas are the q_text_profile
-    // ones, bit-identical across engines.
+    // spent. The stratum budget (floor of 30% of the stratum's total
+    // tokens) is a FULL-PARTITION window sum riding the SAME exchange+sort
+    // as the running cumsum — one scan, one shuffle, the profile UDFs
+    // evaluated once per row (the groupBy-budgets + join-back alternative
+    // scans the corpus and runs the UDFs twice; at 100 TB that is the
+    // whole job twice). The order key is total (doc_id tiebreak) so the
+    // kept set is closed-form; quality/lang/token formulas are the
+    // q_text_profile ones, bit-identical across engines.
     "q_token_budget_sample" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val prof = docs.select(col("doc_id"),
@@ -1038,10 +1041,9 @@ object SparkEntry {
       val ord = Window.partitionBy(col("lang"))
         .orderBy(col("quality").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val budgets = prof.groupBy(col("lang"))
-        .agg(floor(sum(col("tokens")) * 0.3).as("budget"))
+      val whole = Window.partitionBy(col("lang")) // default frame: entire partition
       prof.withColumn("cum", sum(col("tokens")).over(ord))
-        .join(budgets, "lang")
+        .withColumn("budget", floor(sum(col("tokens")).over(whole) * 0.3))
         .filter(col("cum") <= col("budget"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs_kept"),

@@ -56,6 +56,14 @@ object PlanDump {
       graft.SparkEntry.queries("q_ngram_jaccard_near_dup")(spark, sf))
     dump("q_corpus_curation (funnel: ONE conditional-agg scan for stages 1-3, min_by exact dedup, prefix-join near-dup removal via left_anti)",
       graft.SparkEntry.queries("q_corpus_curation")(spark, sf))
+    dump("q_token_budget_sample (ONE profile scan, ONE stratum exchange: running cumsum + full-partition budget sum as two Window nodes over the same sort)",
+      graft.SparkEntry.queries("q_token_budget_sample")(spark, sf))
+    // q_neardup_components is NOT dumped: ConnectedComponents.run executes
+    // eagerly (per-round eager localCheckpoint — lineage truncation is the
+    // correctness-critical design point, see its scaladoc), so the returned
+    // frame's plan is just a checkpoint scan; the per-round shape is two
+    // groupBy-min shuffles + two joins over the shrinking canonical edge
+    // list, asserted by ConnectedComponentsSpec rather than inspected here.
 
     // the q_ann_ivf_index operator runs eagerly (two probe batches against
     // one persisted index), so dump its SEARCH plan explicitly: the probe
