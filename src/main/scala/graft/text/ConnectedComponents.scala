@@ -56,7 +56,12 @@ object ConnectedComponents {
     * rounds (2·⌈log₂ n⌉ + 4 is the published envelope; 50 covers any
     * realistic graph) — a loud failure, never a silently wrong labeling.
     */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runWithRounds(edges, maxIter)._1
+
+  /** As [[run]], also returning the number of large-star/small-star rounds
+    * the fixpoint took — scale evidence against the O(log n) bound. */
+  def runWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
     // canonical undirected edge list: (hi > lo), no self-loops, distinct
@@ -127,7 +132,7 @@ object ConnectedComponents {
       .select(col("node"), col("node").as("rep"))
     val result = labels.union(roots).localCheckpoint(true)
     e.unpersist(); nodes.unpersist()
-    result
+    (result, it)
   }
 
   /** Cheap order-insensitive convergence fingerprint of an edge set:

@@ -399,6 +399,36 @@ object ScaleHeadroom {
       } finally parts.unpersist()
     }
 
+    run("connected_components@2M", 2000000L) {
+      // the near-dup CLUSTERING step (q_neardup_components runs it on a
+      // ~500-node pair graph) at 4,000× that: 2M nodes / ~2M edges with
+      // closed-form component truth and the two adversarial shapes —
+      //  - 100 CHAINS of 10,000 nodes (diameter 9,999: plain label
+      //    propagation would need ~10k rounds; large-star/small-star must
+      //    stay inside the O(log n) budget),
+      //  - 100 random recursive TREES of 10,000 nodes (hash parent
+      //    pointers — hub-ish fan-outs, no collect_list to blow).
+      // Every node's component rep is its block start (floor(id/10k)·10k),
+      // so the gate is a distributed mismatch count, not a collect.
+      val S = 10000L
+      val half = 1000000L
+      val chainEdges = spark.range(0, half, 1, 16)
+        .filter(pmod(col("id"), lit(S)) =!= (S - 1))
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val treeEdges = spark.range(half, 2 * half, 1, 16)
+        .filter(pmod(col("id"), lit(S)) =!= 0)
+        .select(col("id").as("a"),
+          (floor(col("id") / S) * S +
+            pmod(xxhash64(col("id")), col("id") - floor(col("id") / S) * S)).as("b"))
+      val (labels, rounds) =
+        graft.text.ConnectedComponents.runWithRounds(chainEdges.unionByName(treeEdges))
+      val bad = labels.filter(col("rep") =!= floor(col("node") / S) * S).count()
+      val n = labels.count()
+      labels.unpersist()
+      (s"nodes=$n/2000000 mislabeled=$bad rounds=$rounds (10k-diameter chains)",
+        n == 2 * half && bad == 0L && rounds <= 50)
+    }
+
     // ---- report ----
     val json = new StringBuilder("{\"gen_sec\":" + f"$genSec%.1f" + ",\"ops\":{")
     json.append(results.map { case (n, (rows, sec, out, ok)) =>
@@ -485,6 +515,16 @@ object ScaleHeadroom {
         |  watermark window: exactly 1M keys emitted, and the checkpoint's
         |  `state/` shows RocksDB snapshots (no HDFS-provider `.delta`),
         |  proving the provider held the state.
+        |
+        |- **Connected-components clustering at 2M nodes**: the
+        |  q_neardup_components operator on a 4,000×-scale planted graph —
+        |  100 chains of diameter 9,999 (the shape that stalls plain label
+        |  propagation for ~10k rounds) plus 100 random recursive trees —
+        |  labels every node with its closed-form component rep, with the
+        |  round count reported against the O(log n) large-star/small-star
+        |  budget. Per-round cost is two shuffles over a SHRINKING edge
+        |  list with lineage truncated every round, so a 10^9-node dup
+        |  graph is ~20 rounds of bounded shuffles, not a deep lineage.
         |
         |## What this evidences for 100 TB
         |
