@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.mm.Multimodal
 import graft.sketch.agg.{SketchConfig, SketchFunctions}
-import graft.text.{ConnectedComponents, TextSqlFunctions}
+import graft.text.{ConnectedComponents, TextSqlFunctions, TokenBudget}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1051,6 +1051,26 @@ object SparkEntry {
           min(col("quality")).as("min_quality"))
         .orderBy("lang")
     },
+    // The SAME selection through the 100 TB execution shape: the window
+    // formulation above is oracle-exact but `PARTITION BY lang` puts every
+    // row of a language into ONE task — an 80 TB English stratum lands on a
+    // single core. graft.text.TokenBudget replaces it with a two-job
+    // distributed prefix-sum over one range shuffle (the zipWithIndex
+    // pattern): range-partition by the total order, per-(partition, lang)
+    // token sums to the driver (P×L tiny rows), broadcast exclusive offsets
+    // + budgets, stream-filter each partition with a seeded running sum.
+    // Kept set is bit-identical (range cuts choose WHERE the order is
+    // sliced, never the order; same floor(total·frac) double arithmetic),
+    // so this row shares the window row's closed-form oracle — gating that
+    // the scalable path IS the semantics, not an approximation of it.
+    "q_token_budget_scalable" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val prof = docs.select(col("doc_id"),
+        tfns.langIdUdf(col("text")).as("lang"),
+        tfns.qualityScoreUdf(col("text")).as("quality"),
+        tfns.tokenCountCol(col("text")).cast("long").as("tokens"))
+      TokenBudget.sampleSummary(prof, frac = 0.3)
+    },
     // The COMPOSED training-data curation pipeline — what a 100 TB corpus
     // job actually runs, end to end in one query: language-ID filter →
     // quality-score threshold → exact dedup (keep the smallest doc_id per
@@ -1919,6 +1939,21 @@ object SparkEntry {
     // closed-form, and sum(tokens)*0.3e0 / floor are the same IEEE double
     // ops in both engines
     "q_token_budget_sample" ->
+      s"""WITH $DocProfileSqlPrelude,
+        |b AS (SELECT lang, CAST(floor(sum(tokens) * 0.3e0) AS BIGINT) AS budget
+        |      FROM p GROUP BY lang),
+        |c AS (SELECT doc_id, lang, quality, tokens,
+        |        sum(tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM p),
+        |k AS (SELECT c.* FROM c JOIN b USING (lang) WHERE cum <= budget)
+        |SELECT lang, count(*) AS docs_kept,
+        |       CAST(sum(tokens) AS BIGINT) AS tokens_kept,
+        |       min(quality) AS min_quality
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // the scalable prefix-sum path is gated on the IDENTICAL closed-form
+    // selection — same total order, same budget arithmetic
+    "q_token_budget_scalable" ->
       s"""WITH $DocProfileSqlPrelude,
         |b AS (SELECT lang, CAST(floor(sum(tokens) * 0.3e0) AS BIGINT) AS budget
         |      FROM p GROUP BY lang),

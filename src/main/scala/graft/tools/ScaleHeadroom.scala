@@ -429,6 +429,51 @@ object ScaleHeadroom {
         n == 2 * half && bad == 0L && rounds <= 50)
     }
 
+    // Token-budget sampling at 100× verify scale with the skew the window
+    // formulation cannot survive: ONE 19M-doc stratum (plus a 1M "pt" one).
+    // `PARTITION BY lang` would put all 19M rows in a single task; the
+    // range-prefix-sum path spreads them over ~60 of the 64 range slices.
+    // Quality is 3 planted levels (heavy ties — every range cut lands
+    // inside a tie run, doc_id carries the order) and tokens cycle 1..7,
+    // so the kept set has a closed form the gate recomputes independently
+    // with a driver-side O(n) simulation of the selection rule.
+    run("token_budget@20M", 20000000L) {
+      val n = 20000000L; val enN = 19000000L
+      val prof = spark.range(0, n, 1, 64).select(
+        col("id").as("doc_id"),
+        when(col("id") < enN, "en").otherwise("pt").as("lang"),
+        (pmod(col("id"), lit(3)).cast("double") * 0.25).as("quality"),
+        (lit(1L) + pmod(col("id"), lit(7))).as("tokens"))
+      val got = graft.text.TokenBudget.sampleSummary(prof, 0.3, partitions = 64)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      // independent simulation: same total order (quality DESC, doc_id),
+      // same floor(total·0.3) budget, straight over the id arithmetic
+      def expect(lo: Long, hi: Long): (Long, Long, Double) = {
+        var total = 0L; var i = lo
+        while (i < hi) { total += 1 + (i % 7); i += 1 }
+        val budget = math.floor(total.toDouble * 0.3).toLong
+        var cum = 0L; var kept = 0L; var keptTok = 0L; var minQ = 0.0
+        var q = 2; var done = false
+        while (q >= 0 && !done) {
+          var j = lo + ((q - lo % 3 + 3) % 3) // first id >= lo with id%3 == q
+          while (j < hi && !done) {
+            cum += 1 + (j % 7)
+            if (cum <= budget) { kept += 1; keptTok += 1 + (j % 7); minQ = q * 0.25 }
+            else done = true
+            j += 3
+          }
+          q -= 1
+        }
+        (kept, keptTok, minQ)
+      }
+      val want = Map("en" -> expect(0L, enN), "pt" -> expect(enN, n))
+      (s"en kept=${got.get("en").map(_._1).getOrElse(-1L)}/${want("en")._1} " +
+        s"pt kept=${got.get("pt").map(_._1).getOrElse(-1L)}/${want("pt")._1} " +
+        "(19M-doc single stratum over 64 range slices)",
+        got == want)
+    }
+
     // ---- report ----
     val json = new StringBuilder("{\"gen_sec\":" + f"$genSec%.1f" + ",\"ops\":{")
     json.append(results.map { case (n, (rows, sec, out, ok)) =>
@@ -525,6 +570,16 @@ object ScaleHeadroom {
         |  budget. Per-round cost is two shuffles over a SHRINKING edge
         |  list with lineage truncated every round, so a 10^9-node dup
         |  graph is ~20 rounds of bounded shuffles, not a deep lineage.
+        |
+        |- **Token-budget sampling at 20M docs, one 19M-doc stratum**: the
+        |  exact case the declarative window (`PARTITION BY lang`) cannot
+        |  distribute — the whole stratum would be ONE task. The
+        |  `graft.text.TokenBudget` range-prefix-sum path spreads it over
+        |  the 64 range slices (~312k rows/task regardless of stratum
+        |  skew) and the kept set still matches an independent driver-side
+        |  simulation of the selection rule exactly — planted quality TIES
+        |  mean every range cut lands inside a tie run, so the doc_id
+        |  tiebreak is doing the cross-partition ordering work.
         |
         |## What this evidences for 100 TB
         |
