@@ -561,18 +561,29 @@ object Bench {
     }
     flush("preflight")
 
-    def runLevel(c: Int): Unit = c match {
-      case 32 => measure(32, withJob = isFull, withFullText = true,
-        withAll6 = isFull, withSized = isFull, withUdaf = true)
-      case 16 => measure(16, withJob = true, withFullText = false,
-        withAll6 = false, withSized = false, withUdaf = true)
-      case 8  => measure(8, withJob = false, withFullText = isFull,
-        withAll6 = isFull, withSized = true, withUdaf = true)
-      case 4  => measure(4, withJob = true, withFullText = false,
-        withAll6 = false, withSized = false, withUdaf = isFull)
-      case 2  => measure(2, withJob = false, withFullText = false,
-        withAll6 = false, withSized = true, withUdaf = isFull)
-      case _  => ()
+    // measured wall per ladder level THIS run — the heal's retry-cost
+    // estimate uses these instead of the static table once a level has
+    // actually run, so budget decisions track the real box speed (run 16:
+    // a heal attempt cost 651 s on a ~17%-slow box vs the 450 s static
+    // estimate, and the overrun cascaded into deadline-skipping levels
+    // 16/32)
+    val levelWall = scala.collection.mutable.Map.empty[Int, Double]
+    def runLevel(c: Int): Unit = {
+      val t0 = System.nanoTime()
+      c match {
+        case 32 => measure(32, withJob = isFull, withFullText = true,
+          withAll6 = isFull, withSized = isFull, withUdaf = true)
+        case 16 => measure(16, withJob = true, withFullText = false,
+          withAll6 = false, withSized = false, withUdaf = true)
+        case 8  => measure(8, withJob = false, withFullText = isFull,
+          withAll6 = isFull, withSized = true, withUdaf = true)
+        case 4  => measure(4, withJob = true, withFullText = false,
+          withAll6 = false, withSized = false, withUdaf = isFull)
+        case 2  => measure(2, withJob = false, withFullText = false,
+          withAll6 = false, withSized = true, withUdaf = isFull)
+        case _  => ()
+      }
+      levelWall(c) = (System.nanoTime() - t0) / 1e9
     }
 
     // ---- self-heal: the scan-only column measured INSIDE a pair's own
@@ -603,6 +614,12 @@ object Bench {
       var attempts = List(attempt())
       var tries = 0
       var dlSkipped = false
+      // prefer the walls this run actually measured for the pair's two
+      // levels over the caller's static estimate (the static number is the
+      // cold-start fallback only — a slow box inflates both levels alike)
+      def retryCostSec: Double =
+        (for (a <- levelWall.get(lo); b <- levelWall.get(hi))
+          yield a + b + 60.0).getOrElse(costEstimateSec)
       // Retry on a dirty gauge — or, for the pair carrying the north rule,
       // on the flagship efficiency itself falling below its floor. The gauge
       // is bandwidth-bound parquet reading; host co-tenancy that contends
@@ -613,7 +630,7 @@ object Bench {
       def needsRetry: Boolean =
         attempts.head._1 < threshold || northFloor.exists(attempts.head._2 < _)
       while (needsRetry && tries < maxRetries && !dlSkipped) {
-        if (leftSec < costEstimateSec + 60) {
+        if (leftSec < retryCostSec + 60) {
           dlSkipped = true // a retry we WOULD have run, skipped for budget
         } else {
           Thread.sleep(60000) // give a flapping co-tenant a chance to clear
@@ -686,12 +703,21 @@ object Bench {
     heal(2, 8, "pair_2_8", graft.tools.BoxProbe.CleanThreshold2to8,
       costEstimateSec = if (isFull) 700 else 450,
       northFloor = Some(NorthRuleFloor))
+    // gates for levels not yet run: static estimate scaled by how fast THIS
+    // box is actually running the levels it has measured (median ratio of
+    // measured wall to static estimate) — a 17%-slow box inflates every
+    // remaining gate the same way instead of blowing past the deadline
+    def estCost(c: Int): Double = levelWall.getOrElse(c, {
+      val rs = levelWall.toSeq.flatMap { case (l, w) => levelCostSec.get(l).map(w / _) }
+      val slow = if (rs.isEmpty) 1.0 else rs.sorted.apply(rs.size / 2)
+      levelCostSec(c) * math.max(1.0, slow)
+    })
     Seq(4, 16).foreach { c =>
-      if (leftSec > levelCostSec(c)) { runLevel(c); flush(s"level_$c") }
+      if (leftSec > estCost(c)) { runLevel(c); flush(s"level_$c") }
       else skipped += s"level$c:deadline"
     }
     heal(4, 16, "pair_4_16", 0.60, costEstimateSec = if (isFull) 420 else 280)
-    if (leftSec > levelCostSec(32)) { runLevel(32); flush("level_32") }
+    if (leftSec > estCost(32)) { runLevel(32); flush("level_32") }
     else skipped += "level32:deadline"
     flush("final")
 
