@@ -734,6 +734,52 @@ object SparkEntry {
         (abs(fns.bloomSize(col("a")) - col("names_a")) < col("names_a") * 0.01)
           .as("size_ok"))
     },
+    // Sketches as JOIN infrastructure — runtime row-level filtering
+    // (bloom.js:64-77 query surface applied to a relational plan): build a
+    // Bloom over the DIM side's join keys with the library's own mergeable
+    // UDAF and push `bloom_contains` onto the FACT side BEFORE the join.
+    // Bloom filters have no false negatives, so the prefiltered join
+    // returns EXACTLY the plain join's rows (false positives only ride to
+    // the exact join and drop there) — THAT equality is what this row
+    // gates against the plain-join oracle; a bloom losing a key would
+    // undercount matched_rows and go red. At 100 TB with a dim too large
+    // to broadcast-join (shuffle join on both sides), the ~KB bloom state
+    // still broadcasts and cuts the fact side's shuffle volume to
+    // ~selectivity·N — the same idea as Catalyst's InjectRuntimeFilter,
+    // expressed with the library's sketch so it also works where the
+    // optimizer can't see the relationship (pre-aggregated sketch tables
+    // persisted across jobs). One scan: pass/match stats come from
+    // conditional aggregation over the same rows the filter gates.
+    // prefilter_ok bounds the false-positive mass in exact integer
+    // arithmetic: fp·100 ≤ nonmatch + 1000, i.e. FPR ≤ 1% + slack —
+    // create(8192, 0.001) realizes ~0.1%, a 10× margin. The value sum is
+    // over floor(value·1000) integers: order-free, bit-identical across
+    // engines.
+    "q_bloom_join_filter" -> { (s, dir) =>
+      val dim = t(s, dir, "customer").filter(col("c_nationkey") === 2)
+        .select(col("c_custkey"))
+      val bf = dim.agg(
+        fns.bloomCreateAgg(8192, 0.001)(col("c_custkey").cast("string")).as("bf"))
+      val hit = fns.bloomContains(col("bf"), col("user_id").cast("string"))
+      val matched = col("hit") && col("m").isNotNull
+      t(s, dir, "events")
+        .crossJoin(broadcast(bf))
+        .withColumn("hit", hit)
+        .join(broadcast(dim.select(col("c_custkey").as("user_id"), lit(1).as("m"))),
+          Seq("user_id"), "left")
+        .agg(
+          count(lit(1)).as("total_rows"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("pass_rows"),
+          sum(when(matched, 1L).otherwise(0L)).as("matched_rows"),
+          countDistinct(when(matched, col("user_id"))).as("matched_users"),
+          sum(when(matched, floor(col("value") * 1000).cast("long")))
+            .as("value_sum_milli"))
+        .select(col("matched_rows"), col("matched_users"), col("value_sum_milli"),
+          (col("pass_rows") >= col("matched_rows") &&
+            (col("pass_rows") - col("matched_rows")) * 100
+              <= (col("total_rows") - col("matched_rows")) + 1000)
+            .as("prefilter_ok"))
+    },
     // ---- training-pipeline ops over documents/embeddings ----
     // whitespace token counting — pure built-ins (codegen'd, no ScalaUDF)
     "q_token_counts" -> { (s, dir) =>
@@ -1129,6 +1175,42 @@ object SparkEntry {
         count(lit(1)).as("neardup_kept"),
         sum(col("tokens")).as("tokens_kept"))
       head.crossJoin(exactKept).crossJoin(tail)
+    },
+    // Benchmark DECONTAMINATION — the cross-corpus sibling of self-dedup in
+    // a training pipeline: flag every TRAINING document sharing a full
+    // consecutive 5-word-gram with any held-out EVAL document (the n-gram-
+    // overlap rule used to scrub eval benchmarks out of pretraining data;
+    // 13-word grams in production, scaled to this corpus' ~30-word synthetic
+    // vocabulary where 5 words already makes random collisions rare — the
+    // natural contaminated set is 2/1/20 docs across the verify SFs,
+    // non-empty at every SF so an implementation returning nothing fails).
+    // Eval set = doc_id % 97 == 0, a deterministic "benchmark suite" slice
+    // of the same parquet both engines read. Spark shape for 100 TB: the
+    // eval side is tiny BY CONSTRUCTION (a benchmark suite, not a corpus),
+    // so its exploded gram set BROADCASTS and the training corpus is
+    // scanned once with zero exchanges before the final per-doc agg; grams
+    // are built from pure built-ins (split → transform/slice/array_join —
+    // no ScalaUDF), and the join key is the gram STRING so the row is exact
+    // by construction (with a much larger eval suite, hash grams to 64-bit
+    // — or bloom them with this library — same plan shape).
+    "q_decontaminate" -> { (s, dir) =>
+      val n = 5
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => array_join(slice(col("tk"), i, lit(n)), " ")))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("g"))
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalGrams), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eval_id")).as("eval_hits"),
+          countDistinct(col("g")).as("shared_grams"))
+        .orderBy("doc_id")
     },
     // SimHash near-dup recovery with planted ground truth, end to end:
     // 64-bit token SimHash → 8×8-bit banding (pigeonhole: any pair with
@@ -1860,6 +1942,17 @@ object SparkEntry {
         |       count(*) AS names_union,
         |       TRUE AS jaccard_ok, TRUE AS cover_ok, TRUE AS size_ok
         |FROM m""".stripMargin,
+    // the plain join IS the truth: bloom prefiltering must lose nothing
+    // (no false negatives) and the FP-rate bound is a Spark-side boolean
+    "q_bloom_join_filter" ->
+      """SELECT count(CASE WHEN c.c_custkey IS NOT NULL THEN 1 END) AS matched_rows,
+        |       count(DISTINCT CASE WHEN c.c_custkey IS NOT NULL THEN e.user_id END) AS matched_users,
+        |       CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+        |                     THEN CAST(floor(e.value * 1000) AS BIGINT) END) AS BIGINT) AS value_sum_milli,
+        |       TRUE AS prefilter_ok
+        |FROM events e
+        |LEFT JOIN (SELECT c_custkey FROM customer WHERE c_nationkey = 2) c
+        |  ON e.user_id = c.c_custkey""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS tokens
@@ -1995,6 +2088,21 @@ object SparkEntry {
         |       (SELECT count(*) FROM surv) AS exact_kept,
         |       (SELECT count(*) FROM fin) AS neardup_kept,
         |       (SELECT CAST(sum(tokens) AS BIGINT) FROM fin) AS tokens_kept""".stripMargin,
+    // identical tokenization (lowercased whitespace split), identical
+    // 5-word-gram windows, same eval slice — the contaminated set is exact
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |              FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+        |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+        |            FROM toks WHERE len(tk) >= 5)),
+        |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id AS doc_id, count(DISTINCT ev.eval_id) AS eval_hits,
+        |       count(DISTINCT tr.g) AS shared_grams
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
     "q_embed_near_dup" ->
       s"""SELECT vec_id AS id_a, vec_id + $SynthDupOffset AS id_b
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin,

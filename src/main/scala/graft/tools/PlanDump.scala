@@ -58,6 +58,10 @@ object PlanDump {
       graft.SparkEntry.queries("q_corpus_curation")(spark, sf))
     dump("q_token_budget_sample (ONE profile scan, ONE stratum exchange: running cumsum + full-partition budget sum as two Window nodes over the same sort)",
       graft.SparkEntry.queries("q_token_budget_sample")(spark, sf))
+    dump("q_decontaminate (eval gram set BROADCASTS — benchmark suites are tiny by construction; the training corpus is scanned once, zero big-side exchanges before the per-doc agg; grams via built-ins only)",
+      graft.SparkEntry.queries("q_decontaminate")(spark, sf))
+    dump("q_bloom_join_filter (bloom prefilter on the fact side BEFORE the join — runtime row-level filtering with the library's own sketch; ONE fact scan, conditional agg for pass/match stats)",
+      graft.SparkEntry.queries("q_bloom_join_filter")(spark, sf))
     // q_neardup_components is NOT dumped: ConnectedComponents.run executes
     // eagerly (per-round eager localCheckpoint — lineage truncation is the
     // correctness-critical design point, see its scaladoc), so the returned
