@@ -748,8 +748,12 @@ object SparkEntry {
     // ~selectivity·N — the same idea as Catalyst's InjectRuntimeFilter,
     // expressed with the library's sketch so it also works where the
     // optimizer can't see the relationship (pre-aggregated sketch tables
-    // persisted across jobs). One scan: pass/match stats come from
-    // conditional aggregation over the same rows the filter gates.
+    // persisted across jobs). One fact scan: pass/match stats come from
+    // conditional aggregation over the same rows the filter gates. The
+    // sketch is collected to the driver (ONE ~KB row — the IVF-codebook
+    // precedent for bounded collects) and decoded ONCE into the filter
+    // closure (`bloomContainsConst`): per-row `fromBytes` of the bit array
+    // would dwarf the membership query itself at fact-table row counts.
     // prefilter_ok bounds the false-positive mass in exact integer
     // arithmetic: fp·100 ≤ nonmatch + 1000, i.e. FPR ≤ 1% + slack —
     // create(8192, 0.001) realizes ~0.1%, a 10× margin. The value sum is
@@ -760,10 +764,10 @@ object SparkEntry {
         .select(col("c_custkey"))
       val bf = dim.agg(
         fns.bloomCreateAgg(8192, 0.001)(col("c_custkey").cast("string")).as("bf"))
-      val hit = fns.bloomContains(col("bf"), col("user_id").cast("string"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val hit = fns.bloomContainsConst(bf)(col("user_id").cast("string"))
       val matched = col("hit") && col("m").isNotNull
       t(s, dir, "events")
-        .crossJoin(broadcast(bf))
         .withColumn("hit", hit)
         .join(broadcast(dim.select(col("c_custkey").as("user_id"), lit(1).as("m"))),
           Seq("user_id"), "left")

@@ -78,6 +78,22 @@ class SketchFunctions(val config: SketchConfig) extends Serializable {
   val bloomContains: UserDefinedFunction =
     udf((sk: Array[Byte], v: String) =>
       if (sk == null || v == null) None else Some(BloomSketch.fromBytes(sk).query(v)))
+
+  /** Membership UDF over ONE fixed sketch, decoded ONCE at construction and
+    * shipped inside the closure (BloomSketch is Serializable) — one decode
+    * per task, zero per row. `bloomContains` decodes `fromBytes` on EVERY
+    * invocation, which is fine when the sketch column varies per row or the
+    * probe side is small (q_bloom_brand_membership's 27 probes), but is a
+    * scale-killer as a fact-side row filter: at 10^8+ rows the per-row
+    * alloc+copy of the bit array dwarfs the actual query. Use this for the
+    * runtime-join-filter pattern (q_bloom_join_filter): build the sketch,
+    * collect its ~KB state (bounded, the IVF-codebook precedent), filter
+    * the big side with the const UDF.
+    */
+  def bloomContainsConst(sk: Array[Byte]): UserDefinedFunction = {
+    val b = BloomSketch.fromBytes(sk)
+    udf((v: String) => if (v == null) None else Some(b.query(v)))
+  }
   val bloomSize: UserDefinedFunction =
     udf((sk: Array[Byte]) => if (sk == null) None else Some(BloomSketch.fromBytes(sk).size))
   val bloomJaccard: UserDefinedFunction =

@@ -40,6 +40,17 @@ object ScaleHeadroom {
   private val Dim = 64
   private val EmbedDupOffset = 1000000000L
   private val Cap = 1024
+  // decontamination at 400× verify scale: 2M training docs + 2,000 planted
+  // contaminated trainers, each carrying ONE full 5-word gram copied from
+  // its eval-slice source (ids ≡ 0 mod 97). The planted-id offset lands on
+  // residue 81 mod 97, so planted docs can never fall into the eval slice.
+  private val DeconN = 2000000L
+  private val DeconPlantN = 2000L
+  private val DeconOffset = 100000000L
+  // bloom-prefiltered join: 50M fact rows over a 10M keyspace against a
+  // 5,000-key dim (inside the pinned create(8192, 0.001) design envelope;
+  // a larger dim passes a larger n — bits grow linearly)
+  private val BjfFactN = 50000000L
 
   private def genText(srcId: Long, variant: Int): String = {
     // 24 disjoint-per-id fixed-width hex tokens (~430 chars, the sf
@@ -125,6 +136,42 @@ object ScaleHeadroom {
       spark.range(0, VecN, 1, 32)
         .select(col("id").as("vec_id"), genVecUdf(col("id")).as("embedding"),
           (col("id") % 64).cast("int").as("label"))
+    }
+    // decontamination corpus: disjoint-per-id token spaces mean NO natural
+    // cross-doc gram sharing; a planted trainer (id = DeconOffset + 97k)
+    // appends the first 5 tokens of its eval source genText(97k) — exactly
+    // one full src 5-gram (the 4 mixed windows exist in no other doc), so
+    // the contaminated truth is closed-form: each planted id with
+    // eval_hits = 1, shared_grams = 1, and nothing else.
+    val genDeconUdf = udf((id: Long) =>
+      if (id >= DeconOffset)
+        genText(id, 0) + " " + genText(id - DeconOffset, 0).substring(0, 84)
+      else genText(id, 0))
+    ensure(spark, s"$base/decon2m") {
+      val baseDocs = spark.range(0, DeconN, 1, 32)
+        .select(col("id").as("doc_id"), genDeconUdf(col("id")).as("text"))
+      val planted = spark.range(0, DeconPlantN, 1, 4)
+        .select((col("id") * 97L + DeconOffset).as("doc_id"),
+          genDeconUdf(col("id") * 97L + DeconOffset).as("text"))
+      baseDocs.unionByName(planted)
+        .withColumn("lang", lit("en")).withColumn("source", lit("headroom"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(16)
+    }
+    // bloom-join tables (two-table layout, so not via ensure())
+    locally {
+      val bjf = s"$base/bjf50m"
+      if (!new java.io.File(s"$bjf/_OK").exists()) {
+        spark.range(0, 10000, 1, 2)
+          .select(col("id").as("c_custkey"),
+            when(col("id") < 5000, 2).otherwise(7).as("c_nationkey"))
+          .write.mode("overwrite").parquet(s"$bjf/customer.parquet")
+        spark.range(0, BjfFactN, 1, 64)
+          .select((col("id") % 10000000L).as("user_id"),
+            (col("id") % 1000L).cast("double").as("value"))
+          .write.mode("overwrite").parquet(s"$bjf/events.parquet")
+        new java.io.File(s"$bjf/_OK").createNewFile()
+      }
     }
     val genSec = (System.nanoTime() - t0) / 1e9
 
@@ -474,6 +521,37 @@ object ScaleHeadroom {
         got == want)
     }
 
+    // Benchmark decontamination at 400× verify scale, VERBATIM through
+    // SparkEntry.queries: the ~20.6k-doc eval slice's exploded gram set
+    // broadcasts, the 2M-doc training side is scanned once with zero
+    // big-side exchanges, and the contaminated set must be EXACTLY the
+    // 2,000 planted trainers (disjoint-per-id token spaces make any other
+    // hit impossible; a missed full-gram copy is a recall failure).
+    run("decontaminate@2M", DeconN + DeconPlantN) {
+      val rows = graft.SparkEntry.queries("q_decontaminate")(spark, s"$base/decon2m").collect()
+      val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (0L until DeconPlantN).map(k => (DeconOffset + 97L * k, 1L, 1L)).toSet
+      (s"contaminated=${rows.length}/$DeconPlantN planted, ~20.6k-doc eval slice broadcast",
+        got == want)
+    }
+
+    // Bloom-prefiltered join at a fact-table row count, VERBATIM: 50M rows
+    // through the const-decoded bloom filter (one decode per task — the
+    // per-row fromBytes variant would alloc+copy the bit array 50M times),
+    // then the exact join; every output column has a closed form. matched =
+    // keys 0..4,999 × 5 occurrences; value = id % 1000 and 10M ≡ 0 (mod
+    // 1000), so value_sum_milli = 5 · Σ_{k<5000}(k%1000)·1000.
+    run("bloom_join@50M", BjfFactN) {
+      val r = graft.SparkEntry.queries("q_bloom_join_filter")(spark, s"$base/bjf50m").collect()(0)
+      val wantSum = 5L * 5L * (999L * 1000L / 2L) * 1000L
+      (s"matched_rows=${r.getAs[Long]("matched_rows")}/25000 users=" +
+        s"${r.getAs[Long]("matched_users")}/5000 prefilter_ok=${r.getAs[Boolean]("prefilter_ok")}",
+        r.getAs[Long]("matched_rows") == 25000L &&
+          r.getAs[Long]("matched_users") == 5000L &&
+          r.getAs[Long]("value_sum_milli") == wantSum &&
+          r.getAs[Boolean]("prefilter_ok"))
+    }
+
     // ---- report ----
     val json = new StringBuilder("{\"gen_sec\":" + f"$genSec%.1f" + ",\"ops\":{")
     json.append(results.map { case (n, (rows, sec, out, ok)) =>
@@ -570,6 +648,23 @@ object ScaleHeadroom {
         |  budget. Per-round cost is two shuffles over a SHRINKING edge
         |  list with lineage truncated every round, so a 10^9-node dup
         |  graph is ~20 rounds of bounded shuffles, not a deep lineage.
+        |
+        |- **Decontamination at 2M training docs**: the q_decontaminate
+        |  operator verbatim — the eval slice (~20.6k docs, the "benchmark
+        |  suite") explodes to ~410k grams and BROADCASTS; the 2M-doc
+        |  training side is scanned once with zero exchanges before the
+        |  per-doc agg, and exactly the 2,000 planted full-gram copies come
+        |  back (disjoint-per-id token spaces make any other hit a bug).
+        |  At 100 TB the training side scales the scan; the broadcast side
+        |  scales with the benchmark suite, not the corpus.
+        |
+        |- **Bloom-prefiltered join at 50M fact rows**: q_bloom_join_filter
+        |  verbatim — the dim-side Bloom (5,000 keys, create(8192, 0.001))
+        |  is collected once (~KB) and decoded ONCE per task into the
+        |  filter closure (`bloomContainsConst`); the naive per-row
+        |  `fromBytes` would alloc+copy the bit array 50M times. Every
+        |  output column matches its closed form, and the FP bound holds
+        |  with the realized FPR far under the 1%% gate.
         |
         |- **Token-budget sampling at 20M docs, one 19M-doc stratum**: the
         |  exact case the declarative window (`PARTITION BY lang`) cannot
