@@ -91,6 +91,10 @@ class SketchFunctions(val config: SketchConfig) extends Serializable {
     * the big side with the const UDF.
     */
   def bloomContainsConst(sk: Array[Byte]): UserDefinedFunction = {
+    require(sk != null, "bloomContainsConst: sketch bytes are null (an empty " +
+      "group through a MERGE agg or an outer-join miss — aggregate the dim " +
+      "side directly; a global bloom agg over zero rows yields an empty, " +
+      "non-null sketch)")
     val b = BloomSketch.fromBytes(sk)
     udf((v: String) => if (v == null) None else Some(b.query(v)))
   }
