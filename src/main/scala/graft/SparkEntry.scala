@@ -198,6 +198,96 @@ object SparkEntry {
     stage.toString
   }
 
+  /** Stage ONE ROW PER ((user_id, event_type), chunk) of the events table:
+    * ts = the key's MIN event time within the chunk, chunks cut on EQUAL
+    * SPANS of event time. Input for q_stream_dedup_bounded, whose semantics
+    * (`dropDuplicatesWithinWatermark` state eviction) depend on per-batch
+    * watermark progression — so unlike the sessionize replays, the oracle
+    * must reproduce the CUTS themselves. Equal-span cuts are closed-form in
+    * DuckDB (`((t - lo) * chunks) // (hi - lo + 1)`), where
+    * stageEventsByTime's approxQuantile cuts are not; and the
+    * one-row-per-key-per-batch shape makes which-row-creates-state
+    * deterministic (within a batch, arrival order — and so which duplicate's
+    * event time seeds the state expiry — is partition-order nondeterminism).
+    *
+    * Chunk files are written in time order with ascending mtimes (same file-
+    * source ordering contract as stageEventsByTime); chunk i+1 is strictly
+    * newer than everything before it, so no row is ever late. Every chunk
+    * must be non-empty — an empty chunk would silently drop a micro-batch
+    * from the replay (the events tables are dense over their span; fail
+    * loudly if that changes).
+    */
+  private def stageKeyedEventsBySpan(
+      s: SparkSession, dir: String, chunks: Int): (String, Long, Long) = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def boundsFromMarker(path: String): (String, Long, Long) = {
+      val parts = Files.readString(Paths.get(path, "_STAGED")).split('|')
+      (path, parts(1).toLong, parts(2).toLong)
+    }
+    val memoKey = (dir + "#keyed", chunks)
+    val memoized = stageMemo.get(memoKey)
+    if (memoized != null && Files.exists(Paths.get(memoized, "_STAGED")))
+      return boundsFromMarker(memoized)
+    def deleteTree(root: Path): Unit = {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+    val tcol = unix_micros(col("ts").cast("timestamp"))
+    val mm = ev.agg(min(tcol).as("lo"), max(tcol).as("hi"), count(lit(1)).as("n"),
+      sum(pmod(xxhash64(col("user_id"), col("event_type"), col("ts")),
+        lit(1000000007L))).as("fp"),
+      count(tcol).as("n_ts")).collect()(0)
+    require(!mm.isNullAt(0),
+      s"$dir/events.parquet has no non-null-user rows — nothing to stage")
+    val (lo, hi, n, fp) = (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    require(mm.getLong(4) == n,
+      s"$dir/events.parquet has ${n - mm.getLong(4)} null-ts rows — the " +
+        "span-cut replay would drop them")
+    require(hi > lo, s"degenerate event-time span [$lo, $hi] — cannot cut chunks")
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stage", s"keyed-${Integer.toHexString(dir.hashCode)}-$chunks")
+    val marker = stage.resolve("_STAGED")
+    val stamp = s"v1|$lo|$hi|$n|$fp"
+    if (Files.exists(marker) && Files.readString(marker) == stamp) {
+      stageMemo.put(memoKey, stage.toString)
+      return (stage.toString, lo, hi)
+    }
+    if (Files.exists(stage)) deleteTree(stage)
+    Files.createDirectories(stage)
+    // integer `div` (not double floor-division): (t - lo) * chunks tops out
+    // near 4 * span_us ≈ 1e13 for these tables — exact Long arithmetic, and
+    // the oracle replicates it with DuckDB's integer `//`
+    val keyed = ev
+      .groupBy(col("user_id"), col("event_type"),
+        expr(s"(unix_micros(CAST(ts AS TIMESTAMP)) - ${lo}L) * $chunks div ${hi - lo + 1}L")
+          .as("chunk"))
+      .agg(min(tcol).as("t_us"))
+    val baseMtime = System.currentTimeMillis() - 120000L
+    (0 until chunks).foreach { i =>
+      val tmp = stage.resolve(s"tmp-$i")
+      keyed.filter(col("chunk") === i)
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("t_us")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+        finally listing.close()
+      val dest = stage.resolve(f"chunk-$i%03d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(baseMtime + i * 1000L)
+      deleteTree(tmp)
+      require(s.read.parquet(dest.toString).limit(1).count() == 1,
+        s"span chunk $i of $chunks is empty — the replay would lose a micro-batch")
+    }
+    Files.writeString(marker, stamp)
+    stageMemo.put(memoKey, stage.toString)
+    (stage.toString, lo, hi)
+  }
+
   /** Best-effort sweep of prior invocations' temp work areas under the
     * given prefix. Swept at the START of a new invocation rather than at
     * each run's own end: the returned DataFrame reads its sink lazily, so a
@@ -1655,6 +1745,74 @@ object SparkEntry {
         .agg(count(lit(1)).as("distinct_users"))
         .orderBy("event_type")
     },
+    // BOUNDED-STATE streaming dedup on the driver-visible path: the
+    // q_stream_dedup row proves cross-batch exactness with UNBOUNDED key
+    // state; this row proves the shape a 100 TB ingest actually runs —
+    // `dropDuplicatesWithinWatermark`, where a key's state is EVICTED once
+    // the watermark passes its event time + delay, so state size is bounded
+    // by the key-arrival rate × delay instead of growing with the key
+    // universe (with RocksDB holding it off-heap, per the restart specs).
+    // The cost of the bound is re-emission: a key recurring after eviction
+    // is emitted again. This row gates that EXACT semantics — suppression
+    // within the window AND re-emission after it — against a closed-form
+    // DuckDB simulation of the state machine (one-row-per-key-per-chunk
+    // staging makes the state-seeding row deterministic; equal-span cuts
+    // make the per-batch watermark progression expressible in SQL; the
+    // eviction rule — sweep at END of batch j with the watermark from data
+    // through batch j-1, duplicates do NOT extend expiry, expiry compared
+    // in micros — is pinned by StreamingSpec's planted probes).
+    "q_stream_dedup_bounded" -> { (s, dir) =>
+      val chunks = 4
+      val (stage, lo, hi) = stageKeyedEventsBySpan(s, dir, chunks)
+      // delay = span/8 (integer ms): long enough that much of a chunk's
+      // state survives into the next batch (cross-batch suppression),
+      // short enough that early-chunk state is evicted before the last
+      // batch (re-emission). Both regimes are REQUIRED below, so this row
+      // can never go vacuously green as plain per-batch or plain unbounded
+      // dedup.
+      val dMs = (hi - lo) / 1000 / 8
+      require(dMs >= 1, s"event-time span too small for a bounded-dedup delay: $dMs ms")
+      val st = s.read.parquet(stage)
+      val stagedRows = st.count()
+      val distinctKeys = st.select("user_id", "event_type").distinct().count()
+      val deduped = s.readStream.schema(st.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .withWatermark("ts", s"$dMs milliseconds")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      val sink = "q_stream_dedup_bounded_out"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          deduped.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3,
+        s"expected >= 3 data micro-batches in the staged replay, saw $batches")
+      val out = s.table(sink)
+      val emitted = out.count()
+      // non-vacuity: some key suppressed ACROSS batches (staging already
+      // deduplicated within each chunk, so any emitted < staged gap is
+      // cross-batch state), and some key re-emitted after eviction (bounded
+      // state actually evicting — unbounded dedup would emit exactly
+      // distinctKeys rows)
+      require(emitted < stagedRows,
+        s"no cross-batch suppression happened (emitted $emitted of $stagedRows staged rows)")
+      require(emitted > distinctKeys,
+        s"no post-eviction re-emission happened (emitted $emitted of $distinctKeys keys)")
+      // which occurrence emitted is part of the gated semantics: sum the
+      // emitted event times (relative ms so the sum stays far inside int64
+      // at any SF — absolute micros would overflow past ~5k emitted rows)
+      out.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("emitted"),
+          countDistinct(col("user_id")).as("keys"),
+          sum(expr(s"(unix_micros(ts) - ${lo}L) div 1000")).as("ts_sum_ms"))
+        .orderBy("event_type")
+    },
     // skew-defusing two-phase aggregation on the driver-visible path
     // (north-rule "salted pre-aggregation to defuse conv_id skew",
     // jobs/SaltedAgg.scala): phase 1 groups by (event_type, salt-bucket of
@@ -2130,6 +2288,53 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // closed-form simulation of dropDuplicatesWithinWatermark's state
+    // machine over the span-cut one-row-per-key-per-chunk replay. Rules
+    // (pinned by DedupSemanticsProbeSpec on the same execution shape, and
+    // against the Spark 4.1.2 StreamingDeduplicateWithinWatermarkExec
+    // bytecode): lookup drops on state-PRESENT (expiry unchecked); the
+    // sweep runs at END of batch j with watermark = floor-ms(max staged
+    // event time through batch j-1) - delay, so state visible to batch b
+    // survived the sweep keyed on data through batch b-2 (`cm2` below);
+    // eviction at watermark >= expiry (equality evicts); expiry = event
+    // micros + delay*1000 (sub-ms preserved); drops never extend expiry.
+    "q_stream_dedup_bounded" ->
+      """WITH RECURSIVE
+        |f AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |      FROM events WHERE user_id IS NOT NULL),
+        |bd AS (SELECT min(t) AS lo, max(t) AS hi,
+        |              ((max(t) - min(t)) // 1000) // 8 AS dms
+        |       FROM f),
+        |occ AS (SELECT user_id, event_type,
+        |               ((t - lo) * 4) // (hi - lo + 1) AS c, min(t) AS t
+        |        FROM f, bd GROUP BY 1, 2, 3),
+        |mx AS (SELECT c, max(t) AS mxt FROM occ GROUP BY c),
+        |wm AS (SELECT c, CAST(greatest(0, coalesce(
+        |           max(mxt) OVER (ORDER BY c
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |           // 1000 - (SELECT dms FROM bd), 0)) * 1000 AS BIGINT) AS w
+        |       FROM mx),
+        |r AS (SELECT user_id, event_type, c, t,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY c) AS rn
+        |      FROM occ),
+        |rec AS (
+        |  SELECT user_id, event_type, rn, c, t, TRUE AS emitted,
+        |         t + (SELECT dms FROM bd) * 1000 AS e
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_type, n.rn, n.c, n.t,
+        |         w.w >= p.e AS emitted,
+        |         CASE WHEN w.w >= p.e
+        |              THEN n.t + (SELECT dms FROM bd) * 1000 ELSE p.e END AS e
+        |  FROM rec p
+        |  JOIN r n ON n.user_id = p.user_id AND n.event_type = p.event_type
+        |          AND n.rn = p.rn + 1
+        |  JOIN wm w ON w.c = n.c)
+        |SELECT event_type, count(*) AS emitted,
+        |       count(DISTINCT user_id) AS keys,
+        |       CAST(sum((t - (SELECT lo FROM bd)) // 1000) AS BIGINT) AS ts_sum_ms
+        |FROM rec WHERE emitted GROUP BY event_type ORDER BY event_type""".stripMargin,
     // restart must reproduce the interruption-free answer EXACTLY — the
     // oracle is the same closed-form sessionization
     "q_stream_restart" -> SessionsOracleSql,
