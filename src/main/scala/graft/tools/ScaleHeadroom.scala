@@ -384,6 +384,99 @@ object ScaleHeadroom {
       }
     }
 
+    // ---- BOUNDED state under eviction pressure: the claim that makes
+    // dropDuplicatesWithinWatermark the 10^12-key shape is that state size
+    // tracks (arrival rate × delay), NOT the key universe — this row
+    // MEASURES that. 8 hourly chunks × 250k fresh keys (2M keys total),
+    // delay 30 min, so each chunk's state is swept two batches later; each
+    // chunk c >= 1 replays 50k keys of chunk c-1 ten minutes on (state
+    // live -> suppressed) and each chunk c >= 4 replays a DISJOINT 50k
+    // slice of chunk c-4 (state evicted ~3.5 h earlier -> re-emitted).
+    // Exact emitted count = 2M fresh + 4×50k re-emits = 2.2M (semantics
+    // pinned by DedupSemanticsProbeSpec), and the state store's
+    // numRowsTotal must peak at ~2 chunks of keys (<= 700k) — an unbounded
+    // dropDuplicates would hold all 2.2M.
+    run("stream_dedup_bounded_state@2.55M", 2550000L) {
+      import java.nio.file.{Files, StandardCopyOption}
+      val work = Files.createTempDirectory("headroom-bounded-dedup")
+      try {
+        val src = work.resolve("src"); Files.createDirectories(src)
+        val baseTs = 1735689600000L
+        val hourMs = 3600000L
+        (0 until 8).foreach { c =>
+          val fresh = spark.range(c * 250000L, (c + 1) * 250000L, 1, 8)
+            .select(col("id").as("user_id"),
+              timestamp_millis(lit(baseTs + c * hourMs) + (col("id") % 1000L)).as("ts"))
+          val nearDups = // ids [base, base+50k) of chunk c-1, 10 min in
+            if (c == 0) fresh.limit(0)
+            else spark.range((c - 1) * 250000L, (c - 1) * 250000L + 50000L, 1, 2)
+              .select(col("id").as("user_id"),
+                timestamp_millis(lit(baseTs + c * hourMs + 600000L)).as("ts"))
+          val farDups = // ids [base+50k, base+100k) of chunk c-4, 5 min in
+            if (c < 4) fresh.limit(0)
+            else spark.range((c - 4) * 250000L + 50000L, (c - 4) * 250000L + 100000L, 1, 2)
+              .select(col("id").as("user_id"),
+                timestamp_millis(lit(baseTs + c * hourMs + 300000L)).as("ts"))
+          val tmpOut = work.resolve(s"build-$c")
+          fresh.unionByName(nearDups).unionByName(farDups)
+            .coalesce(1).write.parquet(tmpOut.toString)
+          val part = {
+            val l = Files.list(tmpOut)
+            try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $tmpOut"))
+            finally l.close()
+          }
+          val dest = src.resolve(f"chunk-$c%03d.parquet")
+          Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+          dest.toFile.setLastModified(baseTs + c * 1000L)
+        }
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = spark.conf.getOption(provKey)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val ckpt = work.resolve("ckpt").toString
+        val (emitted, maxState) =
+          try {
+            spark.conf.set(provKey,
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+            spark.conf.set("spark.sql.shuffle.partitions", "16")
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("ts",
+                org.apache.spark.sql.types.TimestampType)))
+            val q = spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src.toString)
+              .withWatermark("ts", "30 minutes")
+              .dropDuplicatesWithinWatermark("user_id")
+              .writeStream.format("memory").queryName("headroom_bounded_out")
+              .option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val batches = q.recentProgress.count(_.numInputRows > 0)
+            require(batches >= 8, s"expected >= 8 data micro-batches, saw $batches")
+            val mx = q.recentProgress
+              .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+            (spark.table("headroom_bounded_out").count(), mx)
+          } finally {
+            prevProv match {
+              case Some(v) => spark.conf.set(provKey, v)
+              case None    => spark.conf.unset(provKey)
+            }
+            spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          }
+        (s"emitted=$emitted/2200000 exact, max_state_rows=$maxState (<=700k bound, " +
+          "vs 2.2M keys an unbounded dedup would hold)",
+          emitted == 2200000L && maxState <= 700000L && maxState > 0L)
+      } finally {
+        val w = Files.walk(work)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally w.close()
+      }
+    }
+
     run("tree_merge_10k_ckpts", 10000L) {
       // SketchJob.mergeDeterministic at the 100 TB merge envelope: ~10k
       // checkpoint chunks (the checkpointChunks sizing that keeps checkpoint
@@ -638,6 +731,20 @@ object ScaleHeadroom {
         |  watermark window: exactly 1M keys emitted, and the checkpoint's
         |  `state/` shows RocksDB snapshots (no HDFS-provider `.delta`),
         |  proving the provider held the state.
+        |
+        |- **Bounded state under eviction pressure**: the
+        |  `stream_dedup_bounded_state` row measures the claim that makes
+        |  `dropDuplicatesWithinWatermark` the 10^12-key shape — state size
+        |  tracks (arrival rate × delay), not the key universe. 8 hourly
+        |  chunks × 250k fresh keys with a 30-min delay: planted near-dups
+        |  (10 min after their original) are suppressed by live state,
+        |  planted far-dups (4 h after) re-emit after eviction — the exact
+        |  emitted count (2.2M) follows from the state machine pinned by
+        |  DedupSemanticsProbeSpec — and the state store's numRowsTotal
+        |  peaks at ~2 chunks of keys (gated <= 700k) where an unbounded
+        |  dedup would hold all 2.2M. At 10^12 turns/day with a 30-min
+        |  window this is the difference between ~2×10^10 live keys and
+        |  10^12.
         |
         |- **Connected-components clustering at 2M nodes**: the
         |  q_neardup_components operator on a 4,000×-scale planted graph —
