@@ -1915,13 +1915,24 @@ object SparkEntry {
           ((col("vec_id") * 7) % 64 + 16).cast("int"),
           (col("vec_id") % 3 + 1).cast("int"),
           (col("vec_id") % 100 + 1).cast("int")).as("blob"))
-      blobs.select(Multimodal.mediaMetaUdf(col("blob")).as("m"))
+      // resize rides the same scan as an engine-verified boolean: every
+      // blob resized to 8x6 must re-parse as (same kind, 8, 6, 1 channel,
+      // 11-byte header + 48-byte raster). The resampling ARITHMETIC is
+      // pinned by MultimodalSpec's exact box-mean test; this gates the
+      // distributed plumbing (binary in -> binary out -> re-parse) on the
+      // driver path.
+      blobs.select(Multimodal.mediaMetaUdf(col("blob")).as("m"),
+          Multimodal.mediaMetaUdf(
+            Multimodal.resizeUdf(col("blob"), lit(8), lit(6))).as("rm"))
         .groupBy(col("m.kind").as("kind"))
         .agg(count(lit(1)).as("n"),
           avg(col("m.width")).as("avg_w"),
           avg(col("m.height")).as("avg_h"),
           avg(col("m.channels")).as("avg_ch"),
-          sum(col("m.bytes")).as("total_bytes"))
+          sum(col("m.bytes")).as("total_bytes"),
+          bool_and(col("rm.kind") === col("m.kind") &&
+            col("rm.width") === 8 && col("rm.height") === 6 &&
+            col("rm.channels") === 1 && col("rm.bytes") === 59L).as("resize_ok"))
         .orderBy("kind")
     })
 
@@ -2373,6 +2384,7 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT kind, count(*) AS n,
         |       avg(width) AS avg_w, avg(height) AS avg_h, avg(channels) AS avg_ch,
-        |       CAST(sum(bytes) AS BIGINT) AS total_bytes
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       TRUE AS resize_ok
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
 }

@@ -14,7 +14,8 @@ import graft.sketch.core.XxHash64
 case class MediaMeta(kind: String, width: Int, height: Int, channels: Int, bytes: Long)
 
 /** Multimodal-column plumbing: media as opaque BinaryType columns + typed
-  * metadata, with decode / feature-extract / frame-sample operators.
+  * metadata, with decode / feature-extract / resize / frame-sample
+  * operators.
   *
   * Image payloads that carry a known codec signature (PNG/JPEG/GIF/BMP)
   * decode for real through `javax.imageio`; payloads with no decodable
@@ -156,6 +157,87 @@ object Multimodal {
     }
   }
 
+  /** Resize: area-average resampling of the blob's raster grid to
+    * (ow × oh), re-wrapped as a media blob of the same kind with the
+    * resized RAW grayscale raster (one byte per pixel, channels = 1) as
+    * payload. The resampling arithmetic is real over whichever grid the
+    * blob carries: a decoded ImageIO grid for codec payloads (PNG/JPEG/
+    * GIF/BMP), the raw byte raster when the payload length matches
+    * width × height × channels from the header, and the deterministic stub
+    * grid otherwise (same fallback contract as decodePixels). Raw-raster
+    * output keeps the bytes deterministic — a PNG encoder's byte stream is
+    * JDK-version-dependent, the resampled pixels are not.
+    */
+  def resize(bytes: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    require(ow > 0 && oh > 0, s"resize target must be positive, got ${ow}x$oh")
+    val meta = parseMeta(bytes)
+    val payload = java.util.Arrays.copyOfRange(bytes, 11, bytes.length)
+    // source grid as grayscale [0,1] row-major + its true dimensions
+    val (sw, sh, grid): (Int, Int, Array[Float]) =
+      if (looksLikeImage(payload)) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        require(img != null && img.getWidth > 0 && img.getHeight > 0,
+          "payload has an image signature but ImageIO produced no image")
+        val w = img.getWidth; val h = img.getHeight
+        val g = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            g(y * w + x) =
+              ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)).toFloat
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, g)
+      } else if (meta.width > 0 && meta.height > 0 &&
+          payload.length == meta.width * meta.height * math.max(1, meta.channels)) {
+        val w = meta.width; val h = meta.height; val c = math.max(1, meta.channels)
+        val g = new Array[Float](w * h)
+        var i = 0
+        while (i < w * h) {
+          var s = 0
+          var ch = 0
+          while (ch < c) { s += payload(i * c + ch) & 0xff; ch += 1 }
+          g(i) = (s / (c * 255.0)).toFloat
+          i += 1
+        }
+        (w, h, g)
+      } else {
+        val w = math.max(1, meta.width); val h = math.max(1, meta.height)
+        (w, h, stubPixels(payload, w * h).map(v => (v + 1f) / 2f))
+      }
+    // area-average: output pixel (ox, oy) = mean of the source box
+    // [ox*sw/ow, (ox+1)*sw/ow) x [oy*sh/oh, (oy+1)*sh/oh) (boxes at least
+    // 1x1, so upscales nearest-sample and downscales average — exact
+    // integer box arithmetic, no float coordinate rounding)
+    val raster = new Array[Byte](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      val y0 = oy * sh / oh
+      val y1 = math.max(y0 + 1, (oy + 1) * sh / oh)
+      var ox = 0
+      while (ox < ow) {
+        val x0 = ox * sw / ow
+        val x1 = math.max(x0 + 1, (ox + 1) * sw / ow)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += grid(y * sw + x); x += 1 }
+          y += 1
+        }
+        val mean = s / ((y1 - y0).toLong * (x1 - x0))
+        raster(oy * ow + ox) = math.round(mean * 255.0).toInt.max(0).min(255).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    encodeMedia(meta.kind, ow, oh, 1, raster)
+  }
+
   /** Synthetic deterministic media blob for tests/bench. */
   def synthetic(id: Long, kind: String = "image"): Array[Byte] = {
     val r = XxHash64.hashLong(id, 0x1234abcdL)
@@ -183,6 +265,8 @@ object Multimodal {
     udf((b: Array[Byte], dim: Int) => features(b, dim))
   val frameSampleUdf: UserDefinedFunction =
     udf((b: Array[Byte], n: Int) => frameSample(b, n))
+  val resizeUdf: UserDefinedFunction =
+    udf((b: Array[Byte], w: Int, h: Int) => resize(b, w, h))
   val syntheticMediaUdf: UserDefinedFunction = udf((id: Long) => synthetic(id))
 
   def register(spark: SparkSession): Unit = {
@@ -190,6 +274,7 @@ object Multimodal {
     spark.udf.register("media_encode", encodeMediaUdf)
     spark.udf.register("media_features", mediaFeaturesUdf)
     spark.udf.register("media_frames", frameSampleUdf)
+    spark.udf.register("media_resize", resizeUdf)
     spark.udf.register("synthetic_media", syntheticMediaUdf)
   }
 }

@@ -66,6 +66,46 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resize: exact area averages on a raw raster; gradient survives a real PNG resize") {
+    // 4x4 raw grayscale raster with known pixel values -> 2x2 must be the
+    // exact 2x2 box means
+    val px = Array[Byte](
+      0, 4, 8, 12,
+      16, 20, 24, 28,
+      100, 104, 108, 112,
+      116, 120, 124, 127)
+    val blob = Multimodal.encodeMedia("image", 4, 4, 1, px)
+    val small = Multimodal.resize(blob, 2, 2)
+    val m = Multimodal.parseMeta(small)
+    assert(m == MediaMeta("image", 2, 2, 1, small.length.toLong))
+    val out = java.util.Arrays.copyOfRange(small, 11, small.length)
+    // box means of the byte values: (0+4+16+20)/4=10, (8+12+24+28)/4=18,
+    // (100+104+116+120)/4=110, (108+112+124+127)/4=117.75 -> round 118
+    assert(out.toSeq == Seq[Byte](10, 18, 110, 118),
+      s"expected exact box means, got ${out.toSeq}")
+    // upscale keeps values in range and dimensions honest
+    val big = Multimodal.parseMeta(Multimodal.resize(blob, 8, 8))
+    assert(big.width == 8 && big.height == 8 && big.channels == 1)
+
+    // a real PNG vertical gradient resized to 1x4 must stay increasing —
+    // proves the codec path feeds the resampler (the stub grid would not)
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val g = (y * 255) / 15
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = Multimodal.encodeMedia("image", 32, 16, 3, bos.toByteArray)
+    val strip = Multimodal.resize(png, 1, 4)
+    val vals = java.util.Arrays.copyOfRange(strip, 11, strip.length).map(_ & 0xff)
+    assert(vals.length == 4 && vals.sliding(2).forall(p => p(0) < p(1)),
+      s"vertical gradient must stay increasing after resize: ${vals.toSeq}")
+    // determinism
+    assert(Multimodal.resize(png, 1, 4).toSeq == strip.toSeq)
+  }
+
   test("distributed decode pipeline: binary column → meta struct + features") {
     val df = spark.range(0, 100, 1, 4)
       .selectExpr("id", "synthetic_media(id) AS blob")
