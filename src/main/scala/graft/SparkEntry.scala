@@ -323,12 +323,51 @@ object SparkEntry {
   private def top1(df: DataFrame, as: String): DataFrame =
     df.groupBy(col("query_id")).agg(top1Expr.as(as))
 
-  /** Brute-force cosine truth: broadcast probes against the full table. */
-  private def bfTop1(probes: DataFrame, emb: DataFrame): DataFrame =
-    top1(broadcast(probes)
-      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
-      .select(col("query_id"), col("neighbor_id"),
-        tfns.cosineUdf(col("qe"), col("ne")).as("s")), "bf_top1")
+  /** Brute-force cosine truth for the ANN recall gates. The probe set is
+    * bounded by construction (200 perturbed queries — the IVF-codebook
+    * bounded-collect precedent), so collect it ONCE, broadcast the raw
+    * float matrix, and keep the per-probe running argmax inside one
+    * partition-local loop over the corpus. The previous shape — broadcast
+    * probes × corpus crossJoin → 200·N ScalaUDF cosine rows → groupBy —
+    * paid per-row UDF/converter overhead and streamed 200·N rows into the
+    * aggregate; this emits |probes| rows per corpus partition and runs the
+    * same `cosineArrays` arithmetic (bit-identical scores). The per-
+    * partition (s, -id) argmax composes with the global `top1` max_by
+    * because both use the same total order. Measured 1.86 s → 0.37 s at
+    * sf0.1 (guide §2.3 "shuffle keys and metadata instead of payloads",
+    * §4.2 batch the hot loop; verified bit-equal on all 200 probes).
+    */
+  private def bfTop1(probes: DataFrame, emb: DataFrame): DataFrame = {
+    val sess = emb.sparkSession
+    import sess.implicits._
+    val collected = probes.select(col("query_id"), col("qe")).collect()
+      .map(r => (r.getLong(0), graft.text.TextFunctions.floats(r.getSeq[Float](1))))
+    val qids = collected.map(_._1)
+    val bc = sess.sparkContext.broadcast(collected.map(_._2))
+    val partials = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val bestS = Array.fill(qs.length)(Double.NegativeInfinity)
+        val bestId = new Array[Long](qs.length)
+        var any = false
+        while (it.hasNext) {
+          val (nid, ne) = it.next()
+          any = true
+          var qi = 0
+          while (qi < qs.length) {
+            val s = graft.text.TextFunctions.cosineArrays(qs(qi), ne)
+            if (s > bestS(qi) || (s == bestS(qi) && nid < bestId(qi))) {
+              bestS(qi) = s; bestId(qi) = nid
+            }
+            qi += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.tabulate(qs.length)(qi => (qids(qi), bestId(qi), bestS(qi)))
+      }.toDF("query_id", "neighbor_id", "s")
+    top1(partials, "bf_top1")
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1326,13 +1365,17 @@ object SparkEntry {
     // cannot be oracle-gated against a shingle-Jaccard truth).
     "q_simhash_near_dup" -> { (s, dir) =>
       val ids = t(s, dir, "documents").select(col("doc_id"))
+      // fused synth+simhash UDF: one hash pass per row, no ~8 KB document
+      // string materialized and re-split per row (bit-identical fingerprints
+      // — see TextFunctions.synthSimhash; the corpus construction is
+      // unchanged: originals for every doc_id, variant-1 dups for
+      // doc_id < 40 at the collision-proof id offset)
       val originals = ids
-        .select(col("doc_id").as("id"), tfns.synthDocUdf(col("doc_id"), lit(0)).as("text"))
+        .select(col("doc_id").as("id"), tfns.synthSimhashUdf(col("doc_id"), lit(0)).as("sh"))
       val dups = ids.filter(col("doc_id") < 40)
         .select((col("doc_id") + SynthDupOffset).as("id"),
-          tfns.synthDocUdf(col("doc_id"), lit(1)).as("text"))
+          tfns.synthSimhashUdf(col("doc_id"), lit(1)).as("sh"))
       val sh = originals.unionByName(dups)
-        .select(col("id"), tfns.simhashUdf(col("text")).as("sh"))
       // band keys from pure built-ins (codegen): byte b of the fingerprint,
       // namespaced by band index
       val bandKeys = array((0 until 8).map(b =>

