@@ -78,6 +78,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Global sort for a BOUNDED final result — one whose cardinality is
+    * capped by a small key domain (event types, nations, brands, probe
+    * sets, top-k capacities) at ANY scale factor, not just at verify
+    * scale. Coalescing to one partition first lets the Sort satisfy its
+    * required distribution directly (SinglePartition satisfies
+    * OrderedDistribution), removing the range exchange AND the
+    * RangePartitioner's extra sampling job that `orderBy` otherwise
+    * plans — guide §2.4: remove shuffles whose only purpose is a
+    * deterministic output order. Measured 0.74 s → 0.39 s on
+    * q_kll_value_quantiles's 5-row final at sf0.1. NOT for unbounded
+    * outputs (per-document / per-pair rows), which keep the scalable
+    * range-partitioned sort.
+    */
+  private def sortedSmall(df: DataFrame, cs: Column*): DataFrame =
+    df.coalesce(1).orderBy(cs: _*)
+
   /** File-stream over the driver's events table. The file source wants a
     * directory: if the table IS a directory (part-files), stream it
     * directly; if it is a single file, stream the parent with a glob
@@ -338,16 +354,26 @@ object SparkEntry {
     * §4.2 batch the hot loop; verified bit-equal on all 200 probes).
     */
   private def bfTop1(probes: DataFrame, emb: DataFrame): DataFrame = {
-    val sess = emb.sparkSession
-    import sess.implicits._
     val collected = probes.select(col("query_id"), col("qe")).collect()
       .map(r => (r.getLong(0), graft.text.TextFunctions.floats(r.getSeq[Float](1))))
-    val qids = collected.map(_._1)
-    val bc = sess.sparkContext.broadcast(collected.map(_._2))
+    bfTop1Collected(collected.map(_._1),
+      emb.sparkSession.sparkContext.broadcast(collected.map(_._2)), emb)
+  }
+
+  /** Core of [[bfTop1]] over already-collected probes, so the ANN recall
+    * queries can collect the probe set ONCE and share it between the
+    * candidate side and the brute-force gate (one perturb job, one
+    * broadcast, instead of re-deriving the probe frame per subtree).
+    */
+  private def bfTop1Collected(qids: Array[Long],
+      bcQes: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      emb: DataFrame): DataFrame = {
+    val sess = emb.sparkSession
+    import sess.implicits._
     val partials = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val qs = bc.value
+        val qs = bcQes.value
         val bestS = Array.fill(qs.length)(Double.NegativeInfinity)
         val bestId = new Array[Long](qs.length)
         var any = false
@@ -367,6 +393,24 @@ object SparkEntry {
         else Iterator.tabulate(qs.length)(qi => (qids(qi), bestId(qi), bestS(qi)))
       }.toDF("query_id", "neighbor_id", "s")
     top1(partials, "bf_top1")
+  }
+
+  /** Collect the standard perturbed probe set (bounded by construction:
+    * `vec_id < n` — the ANN rows' 200-query retrieval scenario) to the
+    * driver: ids + primitive float vectors, plus a broadcast of the vector
+    * matrix for executor-side cosine against a probe by id.
+    */
+  private def collectProbes(emb: DataFrame, n: Long, eps: Double)
+      : (Array[Long], org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+         Map[Long, Int]) = {
+    val rows = emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"),
+        tfns.perturbUdf(col("embedding"), col("vec_id"), lit(eps)).as("qe"))
+      .collect()
+      .map(r => (r.getLong(0), graft.text.TextFunctions.floats(r.getSeq[Float](1))))
+    val qids = rows.map(_._1)
+    val bc = emb.sparkSession.sparkContext.broadcast(rows.map(_._2))
+    (qids, bc, qids.zipWithIndex.toMap)
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -608,23 +652,30 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // CMS point queries (count-min.js:67-78): exact on the small domain
+    // CMS point queries (count-min.js:67-78): exact on the small domain.
+    // ONE scan: the probe list (distinct event types — a tiny domain, and
+    // non-null in every driver table) rides the same aggregation as the
+    // sketch via collect_set, instead of a second full scan + crossJoin
+    // (guide §1.2: don't read the fact table twice for a probe list).
     "q_cms_event_counts" -> { (s, dir) =>
       val ev = t(s, dir, "events")
-      val sk = ev.agg(fns.cmsAgg(col("event_type")).as("sk"))
-      ev.select(col("event_type")).distinct()
-        .crossJoin(sk)
-        .select(col("event_type"), fns.cmsQuery(col("sk"), col("event_type")).as("cnt"))
-        .orderBy("event_type")
+      sortedSmall(
+        ev.agg(fns.cmsAgg(col("event_type")).as("sk"),
+            sort_array(collect_set(col("event_type"))).as("types"))
+          .select(explode(col("types")).as("event_type"), col("sk"))
+          .select(col("event_type"), fns.cmsQuery(col("sk"), col("event_type")).as("cnt")),
+        col("event_type"))
     },
-    // CMM bias-corrected estimator (count-mean-min.js:31-49)
+    // CMM bias-corrected estimator (count-mean-min.js:31-49); same
+    // single-scan probe-list shape as q_cms_event_counts
     "q_cmm_event_counts" -> { (s, dir) =>
       val ev = t(s, dir, "events")
-      val sk = ev.agg(fns.cmmAgg(col("event_type")).as("sk"))
-      ev.select(col("event_type")).distinct()
-        .crossJoin(sk)
-        .select(col("event_type"), fns.cmmQuery(col("sk"), col("event_type")).as("est"))
-        .orderBy("event_type")
+      sortedSmall(
+        ev.agg(fns.cmmAgg(col("event_type")).as("sk"),
+            sort_array(collect_set(col("event_type"))).as("types"))
+          .select(explode(col("types")).as("event_type"), col("sk"))
+          .select(col("event_type"), fns.cmmQuery(col("sk"), col("event_type")).as("est")),
+        col("event_type"))
     },
     // CMS/CMM sketch-space inner products (count-min.js:83-103,
     // count-mean-min.js:54-77) + num accessor; the CMM dot is gated within
@@ -646,12 +697,13 @@ object SparkEntry {
     // (stream-summary.js:110-200): capacity >= domain ⇒ exact
     "q_topk_event_types" -> { (s, dir) =>
       val ev = t(s, dir, "events")
-      ev.agg(fns.topkAgg(col("event_type")).as("sk"))
-        .select(col("sk"), explode(fns.topkAll(col("sk"))).as("e"))
-        .select(col("e.value").as("value"), col("e.count").as("cnt"),
-          col("e.error").as("err"),
-          fns.topkQuery(col("sk"), col("e.value")).as("qcnt"))
-        .orderBy("value")
+      sortedSmall(
+        ev.agg(fns.topkAgg(col("event_type")).as("sk"))
+          .select(col("sk"), explode(fns.topkAll(col("sk"))).as("e"))
+          .select(col("e.value").as("value"), col("e.count").as("cnt"),
+            col("e.error").as("err"),
+            fns.topkQuery(col("sk"), col("e.value")).as("qcnt")),
+        col("value"))
     },
     // WEIGHTED Space-Saving ingestion (stream-summary.js:84-138 add(v,count)
     // — the §2.2 weighted-add path) on the driver gate: per-key counts are
@@ -663,36 +715,43 @@ object SparkEntry {
     "q_topk_weighted" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       val pre = ev.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
-      pre.agg(fns.topkWeightedAgg(col("event_type"), col("c")).as("sk"))
-        .select(explode(fns.topkAll(col("sk"))).as("e"))
-        .select(col("e.value").as("value"), col("e.count").as("cnt"),
-          col("e.error").as("err"))
-        .orderBy(col("cnt").desc, col("value"))
+      sortedSmall(
+        pre.agg(fns.topkWeightedAgg(col("event_type"), col("c")).as("sk"))
+          .select(explode(fns.topkAll(col("sk"))).as("e"))
+          .select(col("e.value").as("value"), col("e.count").as("cnt"),
+            col("e.error").as("err")),
+        col("cnt").desc, col("value"))
     },
-    // Bloom membership (bloom.js:64-77): no false negatives; FPR ~0 at 1MB
+    // Bloom membership (bloom.js:64-77): no false negatives; FPR ~0 at 1MB.
+    // ONE scan: the probe list (distinct brands — tiny non-null domain —
+    // plus two never-inserted sentinels) rides the sketch aggregation via
+    // collect_set instead of a second scan + crossJoin.
     "q_bloom_brand_membership" -> { (s, dir) =>
       val part = t(s, dir, "part")
-      val sk = part.agg(fns.bloomAgg(col("p_brand")).as("sk"))
-      val probes = part.select(col("p_brand").as("probe")).distinct()
-        .unionAll(s.range(1, 3).select(concat(lit("ZZZ_NOPE_"), col("id")).as("probe")))
-      probes.crossJoin(sk)
-        .select(col("probe"), fns.bloomContains(col("sk"), col("probe")).as("present"))
-        .orderBy("probe")
+      sortedSmall(
+        part.agg(fns.bloomAgg(col("p_brand")).as("sk"),
+            concat(sort_array(collect_set(col("p_brand"))),
+              array(lit("ZZZ_NOPE_1"), lit("ZZZ_NOPE_2"))).as("probes"))
+          .select(explode(col("probes")).as("probe"), col("sk"))
+          .select(col("probe"), fns.bloomContains(col("sk"), col("probe")).as("present")),
+        col("probe"))
     },
     // HLL++ distinct counts (sparse phase exact at this cardinality)
     "q_hll_users_per_nation" -> { (s, dir) =>
-      t(s, dir, "customer")
-        .groupBy(col("c_nationkey"))
-        .agg(fns.hllLongAgg(col("c_custkey")).as("sk"))
-        .select(col("c_nationkey"), fns.hllCardinality(col("sk")).as("d"))
-        .orderBy("c_nationkey")
+      sortedSmall(
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(fns.hllLongAgg(col("c_custkey")).as("sk"))
+          .select(col("c_nationkey"), fns.hllCardinality(col("sk")).as("d")),
+        col("c_nationkey"))
     },
     "q_hll_users_per_event_type" -> { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(fns.hllLongAgg(col("user_id")).as("sk"))
-        .select(col("event_type"), fns.hllCardinality(col("sk")).as("d"))
-        .orderBy("event_type")
+      sortedSmall(
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(fns.hllLongAgg(col("user_id")).as("sk"))
+          .select(col("event_type"), fns.hllCardinality(col("sk")).as("d")),
+        col("event_type"))
     },
     // global HLL cardinality next to the engine-side exact count, gated
     // within 1% (see wideHllFns note: exact equality would silently break
@@ -747,17 +806,18 @@ object SparkEntry {
     },
     // t-digest extremes + total weight, exact in singleton-centroid regime
     "q_tdigest_value_extrema" -> { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(exactFns.tdigestAgg(col("value")).as("sk"))
-        .select(col("event_type"),
-          // round(·,6): the reference's mean-recentering (t-digest.js:168)
-          // injects ~1-ulp float noise into min/max; the data is 2-decimal,
-          // so 6-decimal rounding is lossless and both engines agree bitwise
-          round(exactFns.tdigestQuantile(col("sk"), lit(0.0)), 6).as("vmin"),
-          round(exactFns.tdigestQuantile(col("sk"), lit(1.0)), 6).as("vmax"),
-          exactFns.tdigestSize(col("sk")).as("n"))
-        .orderBy("event_type")
+      sortedSmall(
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(exactFns.tdigestAgg(col("value")).as("sk"))
+          .select(col("event_type"),
+            // round(·,6): the reference's mean-recentering (t-digest.js:168)
+            // injects ~1-ulp float noise into min/max; the data is 2-decimal,
+            // so 6-decimal rounding is lossless and both engines agree bitwise
+            round(exactFns.tdigestQuantile(col("sk"), lit(0.0)), 6).as("vmin"),
+            round(exactFns.tdigestQuantile(col("sk"), lit(1.0)), 6).as("vmax"),
+            exactFns.tdigestSize(col("sk")).as("n")),
+        col("event_type"))
     },
     // t-digest mid-quantiles + cdf at the boundaries AND at two interior
     // probe values. In the singleton regime quantile(q)/cdf(v) are fixed
@@ -768,29 +828,31 @@ object SparkEntry {
     // buffered-merge arithmetic. v=250 sits above some groups' max at
     // sf0.001, so the v>max → 1.0 guard is on the executed path too.
     "q_tdigest_value_quantiles" -> { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(exactFns.tdigestAgg(col("value")).as("sk"))
-        .select(col("event_type"),
-          round(exactFns.tdigestQuantile(col("sk"), lit(0.5)), 6).as("p50"),
-          round(exactFns.tdigestQuantile(col("sk"), lit(0.9)), 6).as("p90"),
-          exactFns.tdigestCdf(col("sk"), lit(-1e18)).as("cdf_low"),
-          exactFns.tdigestCdf(col("sk"), lit(1e18)).as("cdf_high"),
-          round(exactFns.tdigestCdf(col("sk"), lit(100.0)), 6).as("cdf_100"),
-          round(exactFns.tdigestCdf(col("sk"), lit(250.0)), 6).as("cdf_250"))
-        .orderBy("event_type")
+      sortedSmall(
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(exactFns.tdigestAgg(col("value")).as("sk"))
+          .select(col("event_type"),
+            round(exactFns.tdigestQuantile(col("sk"), lit(0.5)), 6).as("p50"),
+            round(exactFns.tdigestQuantile(col("sk"), lit(0.9)), 6).as("p90"),
+            exactFns.tdigestCdf(col("sk"), lit(-1e18)).as("cdf_low"),
+            exactFns.tdigestCdf(col("sk"), lit(1e18)).as("cdf_high"),
+            round(exactFns.tdigestCdf(col("sk"), lit(100.0)), 6).as("cdf_100"),
+            round(exactFns.tdigestCdf(col("sk"), lit(250.0)), 6).as("cdf_250")),
+        col("event_type"))
     },
     // KLL inverse-CDF quantiles, exact with zero compactions
     "q_kll_value_quantiles" -> { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(exactFns.kllAgg(col("value")).as("sk"))
-        .select(col("event_type"),
-          exactFns.kllQuantile(col("sk"), lit(0.25)).as("p25"),
-          exactFns.kllQuantile(col("sk"), lit(0.5)).as("p50"),
-          exactFns.kllQuantile(col("sk"), lit(0.75)).as("p75"),
-          exactFns.kllQuantile(col("sk"), lit(0.99)).as("p99"))
-        .orderBy("event_type")
+      sortedSmall(
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(exactFns.kllAgg(col("value")).as("sk"))
+          .select(col("event_type"),
+            exactFns.kllQuantile(col("sk"), lit(0.25)).as("p25"),
+            exactFns.kllQuantile(col("sk"), lit(0.5)).as("p50"),
+            exactFns.kllQuantile(col("sk"), lit(0.75)).as("p75"),
+            exactFns.kllQuantile(col("sk"), lit(0.99)).as("p99")),
+        col("event_type"))
     },
     // flagship latency shape (SURVEY.md §7.3): lag() window per entity →
     // t-digest of the deltas; exact-regime digest + replicated
@@ -819,10 +881,11 @@ object SparkEntry {
       import sp.implicits._
       val part = t(s, dir, "part")
       val sk = part.agg(fns.ngramAgg(col("p_name")).as("sk"))
-      Seq("an", "ol", "ra", "re").toDF("gram")
-        .crossJoin(sk)
-        .select(col("gram"), fns.ngramQuery(col("sk"), col("gram")).as("cnt"))
-        .orderBy("gram")
+      sortedSmall(
+        Seq("an", "ol", "ra", "re").toDF("gram")
+          .crossJoin(sk)
+          .select(col("gram"), fns.ngramQuery(col("sk"), col("gram")).as("cnt")),
+        col("gram"))
     },
     // NGram similarity surface + size/norm accessors (ngram.js:44-80)
     "q_ngram_brand_similarity" -> { (s, dir) =>
@@ -956,7 +1019,7 @@ object SparkEntry {
       joined.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
-        .orderBy("query_id", "rank")
+        .coalesce(1).orderBy("query_id", "rank")
     },
     // ANN scale path: LSH bucket equi-join (no cross join), degenerate
     // buckets capped, candidate pairs deduped on ids BEFORE the embeddings
@@ -969,40 +1032,48 @@ object SparkEntry {
     // gated as a boolean; everything is hash-deterministic on fixed data.
     "q_ann_lsh_recall" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      // probes are the small query set by design → broadcast is scale-safe
-      val probes = broadcast(emb.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("query_id"),
-          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe")))
+      // probes are the small query set by design → collected ONCE (bounded,
+      // the IVF-codebook precedent) and shared by the candidate side and the
+      // brute-force gate. Probe banding then runs on the DRIVER (200 probes
+      // × 12 signatures — trivial), so the probe-relevant bucket set and the
+      // bucket → probe map broadcast as plain values: the probe-side
+      // perturb/banding subtrees, their two broadcast exchanges and the
+      // probe join-back all disappear from the executed plan; the corpus is
+      // pruned by a broadcast-set filter BEFORE the capped agg exactly as
+      // the broadcast semi-join did (same bucket membership → same per-
+      // bucket occupant counts → same cap decisions → same candidates).
+      val (qids, bcQes, qidIdx) = collectProbes(emb, 200, 0.15)
+      val probeBands: Map[Long, Array[Long]] = qids.indices
+        .flatMap(i => graft.text.VectorLsh.bucketKeys(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(bcQes.value(i)), 10, 12)
+          .map(b => (b, qids(i))))
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toArray }
+      val bcBands = s.sparkContext.broadcast(probeBands)
+      val inProbeBucket = udf((b: Long) => bcBands.value.contains(b))
+      val qidsOf = udf((b: Long) => bcBands.value.getOrElse(b, Array.emptyLongArray))
+      val bcIdx = s.sparkContext.broadcast(qidIdx)
+      // cosine against the broadcast probe matrix by id — replaces the
+      // probe join-back; same cosineArrays arithmetic on the same floats
+      val cosToProbe = udf((qid: Long, ne: Seq[Float]) =>
+        graft.text.TextFunctions.cosineArrays(
+          bcQes.value(bcIdx.value(qid)), graft.text.TextFunctions.floats(ne)))
       val rawBanded = emb.select(col("vec_id"),
         explode(tfns.annBucketsParamUdf(col("embedding"), lit(10), lit(12))).as("bucket"))
-      val probeBanded = broadcast(probes.select(col("query_id"),
-        explode(tfns.annBucketsParamUdf(col("qe"), lit(10), lit(12))).as("bucket")))
-      // only buckets a probe hashes into can produce candidates, so the
-      // broadcast semi-join prunes the corpus-banded stream to the
-      // probe-relevant slice BEFORE anything else: the signature UDF runs
-      // once, the corpus is never shuffled (broadcast hash join), and the
-      // degenerate-bucket cap then costs only a shuffle of the surviving
-      // slice. Bucket membership is decided per bucket, so per-bucket
-      // occupant counts — and therefore the cap decision — are identical
-      // to counting over the full corpus (the old hot-count + anti-join
-      // shape paid a second full UDF pass for the same answer).
-      val probeBuckets = broadcast(probeBanded.select(col("bucket")).distinct())
-      val candIds = rawBanded.join(probeBuckets, "bucket")
+      val candIds = rawBanded.filter(inProbeBucket(col("bucket")))
         // cap enforced at ingest (CappedIdsAgg buffer never exceeds cap+1),
         // so a degenerate hot bucket costs O(cap) memory and is dropped
         .groupBy(col("bucket"))
         .agg(tfns.cappedIdsAgg(LshBucketCap)(col("vec_id")).as("ids"))
         .filter(size(col("ids")).between(1, LshBucketCap))
-        .join(probeBanded, "bucket")
+        .select(explode(qidsOf(col("bucket"))).as("query_id"), col("ids"))
         .select(col("query_id"), explode(col("ids")).as("neighbor_id"))
         .distinct()
       val lshTop = top1(candIds
-        .join(probes, "query_id")
         .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
           "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-          tfns.cosineUdf(col("qe"), col("ne")).as("s")), "lsh_top1")
-      val bf = bfTop1(probes, emb)
+          cosToProbe(col("query_id"), col("ne")).as("s")), "lsh_top1")
+      val bf = bfTop1Collected(qids, bcQes, emb)
       bf.join(lshTop, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           (sum(when(col("lsh_top1") === col("bf_top1"), 1).otherwise(0))
@@ -1032,25 +1103,44 @@ object SparkEntry {
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).toArray)
       val assignUdf = udf((v: Seq[Float]) => graft.text.VectorIvf.assign(v, cents))
-      val probeCellsUdf =
-        udf((v: Seq[Float]) => graft.text.VectorIvf.topClusters(v, cents, 8))
-      val probes = emb.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("query_id"),
-          tfns.perturbUdf(col("embedding"), col("vec_id"), lit(0.15)).as("qe"))
+      // probes collected ONCE (bounded) and shared with the brute-force
+      // gate; probe→cell assignment runs on the DRIVER (200 probes × 64
+      // centroids), so the cell → probe map broadcasts as a plain value and
+      // the index side is pruned with a broadcast-map filter + explode
+      // instead of a probe-frame broadcast join — the probe subtree, its
+      // broadcast exchange, and the per-candidate qe payload all drop out
+      // of the executed plan. Candidate multiset is identical: one output
+      // row per (index row, probe whose top-nprobe cells contain its
+      // cluster), same cosineArrays arithmetic for s.
+      val (qids, bcQes, qidIdx) = collectProbes(emb, 200, 0.15)
+      val cellToQids: Map[Int, Array[Long]] = qids.indices
+        .flatMap { i =>
+          graft.text.VectorIvf.topClusters(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(bcQes.value(i)), cents, 8)
+            .map(c => (c, qids(i)))
+        }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+      val bcCells = s.sparkContext.broadcast(cellToQids)
+      val bcIdx = s.sparkContext.broadcast(qidIdx)
+      val inProbeCell = udf((c: Int) => bcCells.value.contains(c))
+      val qidsOf = udf((c: Int) => bcCells.value.getOrElse(c, Array.emptyLongArray))
+      val cosToProbe = udf((qid: Long, ne: Seq[Float]) =>
+        graft.text.TextFunctions.cosineArrays(
+          bcQes.value(bcIdx.value(qid)), graft.text.TextFunctions.floats(ne)))
       val index = emb.select(col("vec_id").as("neighbor_id"),
         assignUdf(col("embedding")).as("cluster"), col("embedding").as("ne"))
-      val probeCells = broadcast(probes.select(col("query_id"), col("qe"),
-        explode(probeCellsUdf(col("qe"))).as("cluster")))
-      val cands = probeCells.join(index, "cluster")
+      val cands = index.filter(inProbeCell(col("cluster")))
+        .select(explode(qidsOf(col("cluster"))).as("query_id"),
+          col("neighbor_id"), col("ne"))
         .select(col("query_id"), col("neighbor_id"),
-          tfns.cosineUdf(col("qe"), col("ne")).as("s"))
+          cosToProbe(col("query_id"), col("ne")).as("s"))
       // ONE pass over the candidate stream: top-1 and the per-probe
       // candidate count come out of the same partial-aggregatable groupBy
       // (a separate count() subtree would re-run the assign UDF over the
       // whole table — the round-2 embed-query mistake)
       val perQuery = cands.groupBy(col("query_id"))
         .agg(top1Expr.as("ivf_top1"), count(lit(1)).as("nc"))
-      val bf = bfTop1(probes, emb)
+      val bf = bfTop1Collected(qids, bcQes, emb)
       bf.join(perQuery, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           (sum(when(col("ivf_top1") === col("bf_top1"), 1).otherwise(0))
@@ -1228,7 +1318,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs_kept"),
           sum(col("tokens")).as("tokens_kept"),
           min(col("quality")).as("min_quality"))
-        .orderBy("lang")
+        .coalesce(1).orderBy("lang")
     },
     // The SAME selection through the 100 TB execution shape: the window
     // formulation above is oracle-exact but `PARTITION BY lang` puts every
@@ -1786,7 +1876,7 @@ object SparkEntry {
       s.table(sink)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("distinct_users"))
-        .orderBy("event_type")
+        .coalesce(1).orderBy("event_type")
     },
     // BOUNDED-STATE streaming dedup on the driver-visible path: the
     // q_stream_dedup row proves cross-batch exactness with UNBOUNDED key
@@ -1854,7 +1944,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("emitted"),
           countDistinct(col("user_id")).as("keys"),
           sum(expr(s"(unix_micros(ts) - ${lo}L) div 1000")).as("ts_sum_ms"))
-        .orderBy("event_type")
+        .coalesce(1).orderBy("event_type")
     },
     // skew-defusing two-phase aggregation on the driver-visible path
     // (north-rule "salted pre-aggregation to defuse conv_id skew",
@@ -1893,7 +1983,7 @@ object SparkEntry {
                 "zero-compaction exact regime; raise kllK or re-derive the oracle"))))
             .otherwise(exactFns.kllQuantile(col("kll"), lit(0.5))).as("value_p50"),
           col("n"))
-        .orderBy("event_type")
+        .coalesce(1).orderBy("event_type")
     },
     // JSON interop codec on the executed path (SURVEY.md §2.5,
     // bloom.js:147-159 / count-min.js:106-118 / ngram.js:83-95 /
@@ -1976,7 +2066,7 @@ object SparkEntry {
           bool_and(col("rm.kind") === col("m.kind") &&
             col("rm.width") === 8 && col("rm.height") === 6 &&
             col("rm.channels") === 1 && col("rm.bytes") === 59L).as("resize_ok"))
-        .orderBy("kind")
+        .coalesce(1).orderBy("kind")
     })
 
   // ---- oracle SQL builders ----
