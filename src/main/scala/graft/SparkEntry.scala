@@ -628,25 +628,42 @@ object SparkEntry {
       .filter(col("rk") <= col("sz") - expr("(4*sz+4) DIV 5") + PrefixGateK)
       .select((col("doc_id") * 2 + when(col("sz") <= 14, 1L).otherwise(0L)).as("xid"),
         col("g"))
+    // Each doc's prefix as ONE sorted array (bounded: (1−τ)·|set| + K per
+    // doc — the same order of bytes as the doc's own text), then one bucket
+    // row per (prefix token, doc) CARRYING the array. The bucket agg
+    // collects framed occupants (ingest-capped like every LSH bucket agg),
+    // and prefixBucketPairs computes each in-bucket pair's full shared-
+    // prefix count by merge-intersecting the two sorted arrays LOCALLY.
+    // The shape this replaces exploded Σ C(occ,2) per-pair hit rows (31M at
+    // sf0.1 — quadratic in bucket occupancy) into a two-phase count agg
+    // whose 31M-row shuffle dominated all three prefix-join queries
+    // (measured 11.5 s of q_ngram_jaccard_near_dup's 14 s); carrying the
+    // prefix arrays moves O(Σ occ · prefix) bytes once and shuffles no
+    // per-pair rows at all (guide §8: decide with compact proxies moved
+    // once, never ship per-pair rows). The count is the true
+    // |prefix(A) ∩ prefix(B)| — identical to the hit count on any
+    // cap-overflow-free data (all verify SFs), and recall-safer under
+    // overflow (see prefixBucketPairs scaladoc); callers' exact-Jaccard
+    // verify keeps precision exact either way.
+    val docPrefix = prefixes.groupBy(col("xid"))
+      .agg(sort_array(collect_list(col("g"))).as("pg"))
+    val bucketRows = docPrefix.select(col("xid"), col("pg"), explode(col("pg")).as("g"))
     // fan the few (vocabulary-sized) bucket rows out over many small tasks
-    // BEFORE the C(occ,2) pair expansion: with the default layout a handful
-    // of fat tasks own all the hits and the count agg's per-task partial
-    // hash maps grow to millions of keys and spill (measured: 30.4 s →
-    // 5.7 s at sf0.1). Per-bucket work is bounded by the cap (≤ C(cap,2)),
-    // so row-count balancing is work balancing here.
+    // before the C(occ,2) in-bucket pair scan — per-bucket work is bounded
+    // by the cap, so row-count balancing is work balancing here
     val fanout = docs.sparkSession.sessionState.conf.numShufflePartitions * 8
-    prefixes.groupBy(col("g"))
-      .agg(tfns.cappedIdsAgg(LshBucketCap)(col("xid")).as("ids"))
-      .filter(size(col("ids")).between(2, LshBucketCap))
+    bucketRows.groupBy(col("g"))
+      .agg(tfns.cappedPrefixAgg(LshBucketCap)(col("xid"), col("pg")).as("occ"))
       .repartition(fanout)
-      // codegen pair expansion: explode occupants, then the larger ids of
-      // the same bucket via a higher-order array filter — no UDF, no boxing
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(filter(col("ids"), x => x > col("a"))).as("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= PrefixGateK ||
-        (col("a") % 2 === 1 && col("b") % 2 === 1))
+      // gated pairs come back as a flat [a0,b0,a1,b1,…] primitive array;
+      // rebuild (a,b) structs with codegen built-ins before the dedup
+      .select(tfns.prefixPairsUdf(LshBucketCap, PrefixGateK)(col("occ")).as("fp"))
+      .filter(size(col("fp")) > 0)
+      .select(explode(expr(
+        "transform(sequence(0, size(fp) DIV 2 - 1), " +
+          "i -> struct(fp[i*2] AS a, fp[i*2+1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
       .select(expr("a DIV 2").as("doc_a"), expr("b DIV 2").as("doc_b"))
   }
 
@@ -1241,7 +1258,7 @@ object SparkEntry {
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          tfns.exactJaccardUdf(col("ta"), col("tb")).as("jaccard"))
+          tfns.exactJaccardOnceUdf(col("ta"), col("tb")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     },
@@ -1265,7 +1282,7 @@ object SparkEntry {
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          tfns.exactJaccardUdf(col("ta"), col("tb")).as("jaccard"))
+          tfns.exactJaccardOnceUdf(col("ta"), col("tb")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     },

@@ -445,6 +445,148 @@ object TextFunctions {
       if (v._1 != null && v._2 != null) { b += v._1.longValue(); b += v._2.longValue() }
   }
 
+  /** Normalize a Long-array argument to the primitive array (mirror of
+    * [[floats]] — same quadratic-List / boxing hazard).
+    */
+  def longs(s: Seq[Long]): Array[Long] = s match {
+    case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
+    case _                                             => s.toArray
+  }
+
+  /** Ingest-capped bucket collection of VARIABLE-length occupants for the
+    * prefix-filtered similarity join: one occupant is the frame
+    * `[len, xid, g_1 … g_len]` (its id + its full sorted prefix-token
+    * array) appended to a flat Long buffer; occupant COUNT is capped at
+    * ingest exactly like [[CappedOccupantsAgg]] (`cap + 1` occupants max,
+    * the extra one the overflow marker), so a degenerate hot bucket costs
+    * O(cap · prefix) memory. Carrying the prefix arrays into the bucket is
+    * what lets [[prefixBucketPairs]] compute each candidate pair's FULL
+    * shared-prefix count locally — the per-pair hit rows (Σ C(occ,2) of
+    * them, 31M at sf0.1) never cross a shuffle.
+    */
+  final class CappedFramedPrefixAgg(cap: Int)
+      extends Aggregator[(java.lang.Long, Array[Long]),
+        scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
+    private def occupants(b: scala.collection.mutable.ArrayBuffer[Long]): Int =
+      if (b.isEmpty) 0 else b(0).toInt
+    def zero: scala.collection.mutable.ArrayBuffer[Long] =
+      new scala.collection.mutable.ArrayBuffer[Long](64)
+    def reduce(b: scala.collection.mutable.ArrayBuffer[Long],
+        v: (java.lang.Long, Array[Long])): scala.collection.mutable.ArrayBuffer[Long] = {
+      if (v != null && v._1 != null && v._2 != null) {
+        if (b.isEmpty) b += 0L
+        if (b(0) <= cap) {
+          b += v._2.length.toLong
+          b += v._1.longValue()
+          var i = 0
+          while (i < v._2.length) { b += v._2(i); i += 1 }
+          b(0) += 1
+        }
+      }
+      b
+    }
+    def merge(a: scala.collection.mutable.ArrayBuffer[Long],
+        b: scala.collection.mutable.ArrayBuffer[Long])
+        : scala.collection.mutable.ArrayBuffer[Long] = {
+      if (b.isEmpty) return a
+      if (a.isEmpty) a += 0L
+      var i = 1
+      while (a(0) <= cap && i < b.length) {
+        val len = b(i).toInt
+        var s = 0
+        while (s < len + 2) { a += b(i + s); s += 1 }
+        a(0) += 1
+        i += len + 2
+      }
+      a
+    }
+    def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Long] = b.toArray
+    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
+      Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Candidate pairs of one framed prefix bucket ([[CappedFramedPrefixAgg]]
+    * output): for every unordered occupant pair, merge-intersect the two
+    * SORTED prefix-token arrays to get the pair's full shared-prefix count
+    * `|prefix(A) ∩ prefix(B)|`, and emit the (xid-ordered) pair when the
+    * count passes `gateK` — or unconditionally for tiny–tiny pairs (both
+    * xids odd: documents whose whole shingle set is inside the prefix, the
+    * α ≤ K case of the prefix-filter lemma). Buckets with fewer than 2 or
+    * more than `cap` occupants (the ingest-overflow marker) yield nothing,
+    * mirroring the dropped-bucket guardrail. A pair is emitted by EVERY
+    * surviving bucket the two documents share (same count each time — it
+    * depends only on the two prefix arrays); the caller's `distinct`
+    * collapses the duplicates, so no cross-bucket coordination is needed.
+    *
+    * vs the exploded hit-counting shape this replaces: the count here is
+    * the TRUE intersection size, where counting surviving-bucket hits
+    * undercounts a pair when some shared token's bucket overflowed the cap
+    * — so recall under the prefix-filter lemma only strengthens; spurious
+    * candidates (count differences the other way are impossible:
+    * intersection ⊇ surviving hits) are killed by the exact-Jaccard verify
+    * every caller applies. On cap-overflow-free data (all verify SFs; max
+    * occupancy 287 vs cap 1024 at sf0.1) the candidate set is identical.
+    */
+  def prefixBucketPairs(flat: Array[Long], cap: Int, gateK: Int): Array[Long] = {
+    if (flat.length == 0) return Array.emptyLongArray
+    val n = flat(0).toInt
+    if (n < 2 || n > cap) return Array.emptyLongArray
+    // unpack frames: ids + (offset, length) into the flat array
+    val ids = new Array[Long](n)
+    val off = new Array[Int](n)
+    val len = new Array[Int](n)
+    var i = 1
+    var o = 0
+    while (o < n) {
+      len(o) = flat(i).toInt
+      ids(o) = flat(i + 1)
+      off(o) = i + 2
+      i += len(o) + 2
+      o += 1
+    }
+    // flat [a0, b0, a1, b1, …] output (primitive encoder — a Seq[IdPair]
+    // output paid per-element product encoding, ~6 s over the 2.8M gated
+    // emissions at sf0.1; the caller rebuilds pair structs with codegen
+    // built-ins)
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        if (ids(a) != ids(b)) {
+          // both-odd = tiny–tiny: gate passes on any co-occurrence
+          val tinyPair = (ids(a) & 1L) == 1L && (ids(b) & 1L) == 1L
+          var shared = 0
+          if (!tinyPair) {
+            // merge-intersect two sorted runs, with an upper-bound abort:
+            // once even matching every remaining element cannot reach the
+            // gate, stop (exact — only the gate decision is consumed)
+            var x = off(a); val xe = off(a) + len(a)
+            var y = off(b); val ye = off(b) + len(b)
+            var live = true
+            while (live && x < xe && y < ye) {
+              val gx = flat(x); val gy = flat(y)
+              if (gx == gy) { shared += 1; x += 1; y += 1 }
+              else if (gx < gy) x += 1
+              else y += 1
+              if (shared >= gateK) live = false
+              else if (shared + math.min(xe - x, ye - y) < gateK) live = false
+            }
+          }
+          if (tinyPair || shared >= gateK) {
+            if (ids(a) < ids(b)) { out += ids(a); out += ids(b) }
+            else { out += ids(b); out += ids(a) }
+          }
+        }
+        b += 1
+      }
+      a += 1
+    }
+    out.result()
+  }
+
   // ---- MinHash UDAF: signature of all shingles in a group (mergeable) ----
   final class MinHashAgg(k: Int, shingle: Int)
       extends Aggregator[String, MinHashSketch, Array[Byte]] {
@@ -481,15 +623,31 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
   val exactJaccardUdf: UserDefinedFunction =
     udf((a: String, b: String) => exactShingleJaccard(a, b, shingle))
 
+  /** [[exactJaccardUdf]] marked non-deterministic (it is pure): for the
+    * `select(jaccard).filter(jaccard >= τ)` verify shape, the optimizer
+    * otherwise pushes the filter below the projection and evaluates the
+    * full shingle-set Jaccard TWICE per candidate pair (guide §4.4). Use
+    * this variant when the score column is both emitted and filtered on.
+    */
+  val exactJaccardOnceUdf: UserDefinedFunction =
+    udf((a: String, b: String) => exactShingleJaccard(a, b, shingle))
+      .asNondeterministic()
+
   /** KMV bottom-k blocking keys over the distinct shingle set
     * (see TextFunctions.minKShingleHashes).
     */
   val minKShinglesUdf: UserDefinedFunction =
     udf((t: String, k: Int) => minKShingleHashes(t, shingle, k))
 
-  /** Full hashed shingle set (see TextFunctions.shingleHashes). */
+  /** Full hashed shingle set (see TextFunctions.shingleHashes). Marked
+    * non-deterministic (it is pure) to stop InferFiltersFromGenerate +
+    * projection collapse from re-evaluating the whole shingle pass inside
+    * the inferred `size(..) > 0 AND isnotnull(..)` scan filter — the
+    * before-plan ran this UDF three times per document per branch
+    * (guide §4.4).
+    */
   val shingleHashesUdf: UserDefinedFunction =
-    udf((t: String) => TextFunctions.shingleHashes(t, shingle))
+    udf((t: String) => TextFunctions.shingleHashes(t, shingle)).asNondeterministic()
 
   /** Codegen-friendly (no ScalaUDF) whitespace token count. */
   def tokenCountCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -533,6 +691,27 @@ class TextSqlFunctions(minHashK: Int, shingle: Int, bands: Int) extends Serializ
     * unordered payload-carrying candidate pairs.
     */
   val taggedPairsUdf: UserDefinedFunction = udf((xs: Seq[Long]) => taggedPairs(xs))
+
+  /** Framed prefix-bucket collection (see TextFunctions.CappedFramedPrefixAgg):
+    * apply to `(xid, prefixArray)` columns.
+    */
+  def cappedPrefixAgg(cap: Int): UserDefinedFunction =
+    udaf(new TextFunctions.CappedFramedPrefixAgg(cap),
+      Encoders.tuple(Encoders.LONG,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()))
+
+  /** Gated candidate pairs of one framed prefix bucket as a flat
+    * `[a0, b0, a1, b1, …]` Long array (see TextFunctions.prefixBucketPairs).
+    * Marked non-deterministic (it is pure — results depend only on the
+    * input) solely to stop the optimizer collapsing its projection into
+    * the downstream size-filter + pair-rebuild, which would re-run the
+    * whole C(occ,2) bucket scan once per reference (guide §4.4; measured
+    * 2-3× the scan cost at sf0.1).
+    */
+  def prefixPairsUdf(cap: Int, gateK: Int): UserDefinedFunction =
+    udf((flat: Seq[Long]) =>
+      prefixBucketPairs(TextFunctions.longs(flat), cap, gateK))
+      .asNondeterministic()
 
   /** Planted-near-duplicate synthetic document (see TextFunctions.synthDoc). */
   val synthDocUdf: UserDefinedFunction =
