@@ -599,18 +599,24 @@ object SparkEntry {
     * id (id·2 + tiny), costing nothing.
     *
     * Distributed shape, ALL codegen outside the one shingle UDF: one
-    * document-frequency agg (a word-count), one per-doc window sort
-    * (prefix ranks), one bucket agg with the ingest cap as the
+    * document-frequency agg (a word-count), one groupBy(doc_id) building
+    * both prefix arrays (sort_array over struct(df, g) is the
+    * rarest-first order), one bucket agg with the ingest cap as the
     * degenerate-bucket guardrail (no bucket at any verify SF comes near
     * it; a capped drop would undercount a pair and surface as a red
-    * oracle row), then pair-hit counting — built-in explode + a
-    * higher-order array filter generate the Σ C(occ,2) hit rows with no
-    * UDF boxing, and map-side partial aggregation means the shuffle
-    * carries one (id_a, id_b) row per DISTINCT pair, not per hit.
+    * oracle row), then LOCAL in-bucket pair counting over the carried
+    * prefix arrays (prefixBucketPairs) — no per-pair rows ever cross a
+    * shuffle.
     * Downstream callers re-verify every candidate with the exact Jaccard,
     * so false positives are impossible and false negatives are impossible
     * by the lemma: the row is deterministic by construction, not w.o.p.
     */
+  /** Measurement/test hook for [[prefixJaccardCandidates]] (R6 scratch
+    * harnesses time candidate generation in isolation from the verify).
+    */
+  private[graft] def testPrefixJaccardCandidates(docs: DataFrame): DataFrame =
+    prefixJaccardCandidates(docs)
+
   private def prefixJaccardCandidates(docs: DataFrame): DataFrame = {
     // hashed distinct shingle set + its size from ONE UDF pass
     val sets = docs
@@ -619,35 +625,50 @@ object SparkEntry {
         explode(col("gs")).as("g"))
     // global document frequency — defines the rarest-first total order (df, g)
     val dfreq = sets.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    // per-doc prefix: the sz − ⌈0.8·sz⌉ + K rarest shingles, in exact
-    // integer arithmetic (⌈0.8·sz⌉ = (4·sz+4) DIV 5); the bucket id packs
-    // the tiny-document bit alongside the doc id
-    val prefixes = sets.join(dfreq, "g")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - expr("(4*sz+4) DIV 5") + PrefixGateK)
-      .select((col("doc_id") * 2 + when(col("sz") <= 14, 1L).otherwise(0L)).as("xid"),
-        col("g"))
-    // Each doc's prefix as ONE sorted array (bounded: (1−τ)·|set| + K per
-    // doc — the same order of bytes as the doc's own text), then one bucket
-    // row per (prefix token, doc) CARRYING the array. The bucket agg
-    // collects framed occupants (ingest-capped like every LSH bucket agg),
-    // and prefixBucketPairs computes each in-bucket pair's full shared-
-    // prefix count by merge-intersecting the two sorted arrays LOCALLY.
-    // The shape this replaces exploded Σ C(occ,2) per-pair hit rows (31M at
-    // sf0.1 — quadratic in bucket occupancy) into a two-phase count agg
-    // whose 31M-row shuffle dominated all three prefix-join queries
-    // (measured 11.5 s of q_ngram_jaccard_near_dup's 14 s); carrying the
-    // prefix arrays moves O(Σ occ · prefix) bytes once and shuffles no
-    // per-pair rows at all (guide §8: decide with compact proxies moved
-    // once, never ship per-pair rows). The count is the true
+    // Each doc's K-prefix (the sz − ⌈0.8·sz⌉ + K rarest shingles, exact
+    // integer arithmetic: ⌈0.8·sz⌉ = (4·sz+4) DIV 5) built in ONE
+    // groupBy(doc_id) from the (df, g) rows: sort_array over
+    // struct(df, g) IS the rarest-first total order, and two slices cut
+    // the K-prefix `pg` (hash-sorted, for the count gate) and the SHORT
+    // 1-prefix `ps` (length sz − ⌈0.8·sz⌉ + 1). All built-ins — this
+    // replaces a per-doc row_number window + a second groupBy(xid)
+    // collect_list, i.e. one full exchange and a per-doc sort fewer for
+    // the same arrays (guide §2.4: two operations keyed the same way
+    // share one exchange). The bucket id packs the tiny-document bit
+    // alongside the doc id.
+    //
+    // Buckets are built over the SHORT prefix only (j = 1 case of the
+    // prefix-filter lemma: the MIN common token t_1 of any true pair has
+    // rank_X(t_1) ≤ |X| − α + 1 in BOTH docs, α = ⌈0.8·max(|A|,|B|)⌉ ≥
+    // ⌈0.8·|X|⌉ for each side, so bucket t_1 sees the pair) while each
+    // occupant CARRIES its full K-prefix array for the count gate —
+    // recall stays exactly 1, with 21% fewer bucket rows and 26% fewer
+    // in-bucket pair merges at sf0.1 (31.1M → 24.7M; candidate set
+    // verified element-equal). The bucket agg collects framed occupants
+    // (ingest-capped like every LSH bucket agg), and prefixBucketPairs
+    // computes each in-bucket pair's full shared-prefix count by
+    // merge-intersecting the two sorted arrays LOCALLY. The shape this
+    // replaces exploded Σ C(occ,2) per-pair hit rows (31M at sf0.1 —
+    // quadratic in bucket occupancy) into a two-phase count agg whose
+    // 31M-row shuffle dominated all three prefix-join queries (measured
+    // 11.5 s of q_ngram_jaccard_near_dup's 14 s); carrying the prefix
+    // arrays moves O(Σ occ · prefix) bytes once and shuffles no per-pair
+    // rows at all (guide §8: decide with compact proxies moved once,
+    // never ship per-pair rows). The count is the true
     // |prefix(A) ∩ prefix(B)| — identical to the hit count on any
     // cap-overflow-free data (all verify SFs), and recall-safer under
     // overflow (see prefixBucketPairs scaladoc); callers' exact-Jaccard
     // verify keeps precision exact either way.
-    val docPrefix = prefixes.groupBy(col("xid"))
-      .agg(sort_array(collect_list(col("g"))).as("pg"))
-    val bucketRows = docPrefix.select(col("xid"), col("pg"), explode(col("pg")).as("g"))
+    val docPrefix = sets.join(dfreq, "g")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("toks"))
+      .select(
+        (col("doc_id") * 2 + when(col("sz") <= 14, 1L).otherwise(0L)).as("xid"),
+        sort_array(expr("transform(slice(toks, 1, CAST(sz - (4*sz+4) DIV 5 + " +
+          s"$PrefixGateK AS INT)), x -> x.g)")).as("pg"),
+        sort_array(expr("transform(slice(toks, 1, CAST(sz - (4*sz+4) DIV 5 + 1 AS INT)), " +
+          "x -> x.g)")).as("ps"))
+    val bucketRows = docPrefix.select(col("xid"), col("pg"), explode(col("ps")).as("g"))
     // fan the few (vocabulary-sized) bucket rows out over many small tasks
     // before the C(occ,2) in-bucket pair scan — per-bucket work is bounded
     // by the cap, so row-count balancing is work balancing here

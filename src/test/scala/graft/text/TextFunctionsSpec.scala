@@ -251,8 +251,10 @@ class TextFunctionsSpec extends AnyFunSuite {
       val b1 = shards.map { sh =>
         sh.result().foldLeft(idsAgg.zero)((b, v) => idsAgg.reduce(b, v))
       }.toSeq
-      val r1 = idsAgg.finish(collapse[scala.collection.mutable.ArrayBuffer[Long]](
-        b1, idsAgg.merge, _.length))
+      // occupant count from the primitive buffer: slot 0 is the used
+      // length (header included), so data length = b(0) - 1
+      val r1 = idsAgg.finish(collapse[Array[Long]](
+        b1, idsAgg.merge, b => b(0).toInt - 1))
       assert(r1.length <= cap + 1)
       if (n > cap) assert(r1.length == cap + 1, s"trial $trial: no overflow marker at n=$n")
       else assert(r1.toSeq.sorted == ids.sorted, s"trial $trial: lost ids below cap")
@@ -261,12 +263,72 @@ class TextFunctionsSpec extends AnyFunSuite {
         sh.result().foldLeft(tagAgg.zero)((b, v) =>
           tagAgg.reduce(b, (java.lang.Long.valueOf(v), java.lang.Long.valueOf(v * 13 + 5))))
       }.toSeq
-      val r2 = tagAgg.finish(collapse[scala.collection.mutable.ArrayBuffer[Long]](
-        b2, tagAgg.merge, _.length / 2))
+      val r2 = tagAgg.finish(collapse[Array[Long]](
+        b2, tagAgg.merge, b => (b(0).toInt - 1) / 2))
       assert(r2.length % 2 == 0 && r2.length / 2 <= cap + 1)
       r2.grouped(2).foreach(p => assert(p(1) == p(0) * 13 + 5, s"trial $trial: tag detached"))
       if (n > cap) assert(r2.length / 2 == cap + 1, s"trial $trial: no overflow marker at n=$n")
       else assert(r2.grouped(2).map(_(0)).toSeq.sorted == ids.sorted)
+    }
+  }
+
+  test("CappedFramedPrefixAgg: cap invariant, frame integrity, merge-order robustness") {
+    // Mirrors the CappedOccupantsAgg invariant test for the framed
+    // (variable-length-occupant) agg after the primitive-buffer rework:
+    //   (1) never more than cap+1 occupants at any point;
+    //   (2) overflow iff more than cap occupants ingested;
+    //   (3) non-overflowed buckets keep every frame intact ([len, xid, g…]);
+    //   (4) finish emits the flat [count, frames…] format prefixBucketPairs
+    //       expects, and the empty bucket finishes to an empty array.
+    val rnd = new scala.util.Random(2424L)
+    val cap = 8
+    val agg = new TextFunctions.CappedFramedPrefixAgg(cap)
+    assert(agg.finish(agg.zero).isEmpty)
+    (0 until 300).foreach { trial =>
+      val n = rnd.nextInt(3 * cap + 2)
+      val occupants = Seq.fill(n) {
+        val xid = rnd.nextInt(1000).toLong
+        val pg = Array.fill(1 + rnd.nextInt(7))(rnd.nextLong())
+        (xid, pg)
+      }
+      val nShards = 1 + rnd.nextInt(6)
+      val shards = Array.fill(nShards)(List.newBuilder[(Long, Array[Long])])
+      occupants.foreach(v => shards(rnd.nextInt(nShards)) += v)
+      val bufs = shards.map { sh =>
+        sh.result().foldLeft(agg.zero)((b, v) =>
+          agg.reduce(b, (java.lang.Long.valueOf(v._1), v._2)))
+      }.toSeq
+      val pool = scala.collection.mutable.ArrayBuffer(bufs: _*)
+      while (pool.length > 1) {
+        val a = pool.remove(rnd.nextInt(pool.length))
+        val b = pool.remove(rnd.nextInt(pool.length))
+        val m = agg.merge(a, b)
+        assert(m(0) <= cap + 1, s"trial $trial: buffer exceeded cap+1 occupants")
+        pool += m
+      }
+      val r = agg.finish(pool.head)
+      if (n == 0) assert(r.isEmpty)
+      else {
+        assert(r(0) <= cap + 1)
+        if (n > cap) assert(r(0) == cap + 1, s"trial $trial: no overflow marker at n=$n")
+        // unpack frames and compare as multisets of (xid, pg) when no overflow
+        var i = 1
+        val got = List.newBuilder[(Long, Seq[Long])]
+        var k = 0L
+        while (k < r(0)) {
+          val len = r(i).toInt
+          got += ((r(i + 1), r.slice(i + 2, i + 2 + len).toSeq))
+          i += len + 2
+          k += 1
+        }
+        assert(i == r.length, s"trial $trial: trailing bytes after last frame")
+        if (n <= cap) {
+          val want = occupants.map(v => (v._1, v._2.toSeq))
+          assert(got.result().sortBy(x => (x._1, x._2.mkString(","))) ==
+            want.sortBy(x => (x._1, x._2.mkString(","))),
+            s"trial $trial: frames lost or corrupted below cap")
+        }
+      }
     }
   }
 
