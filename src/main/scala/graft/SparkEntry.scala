@@ -669,13 +669,17 @@ object SparkEntry {
         sort_array(expr("transform(slice(toks, 1, CAST(sz - (4*sz+4) DIV 5 + 1 AS INT)), " +
           "x -> x.g)")).as("ps"))
     val bucketRows = docPrefix.select(col("xid"), col("pg"), explode(col("ps")).as("g"))
-    // fan the few (vocabulary-sized) bucket rows out over many small tasks
-    // before the C(occ,2) in-bucket pair scan — per-bucket work is bounded
-    // by the cap, so row-count balancing is work balancing here
-    val fanout = docs.sparkSession.sessionState.conf.numShufflePartitions * 8
+    // The pair scan runs DIRECTLY on the bucket-agg output partitions: an
+    // earlier repartition(8 × shuffle.partitions) "fanout" between the agg
+    // and the scan measured as a net LOSS (6.3 s → 4.4 s for the gated
+    // stage at sf0.1 without it) — it reshuffled the fat framed rows
+    // (Σ occ · prefix longs, the heaviest rows in the query) to balance
+    // work that the ingest cap already bounds at C(cap,2)·prefix ≈ tens of
+    // ms per bucket; hash(g) over the vocabulary-sized bucket keys spreads
+    // those fine (guide §2.4: remove exchanges that do not change what any
+    // task computes).
     bucketRows.groupBy(col("g"))
       .agg(tfns.cappedPrefixAgg(LshBucketCap)(col("xid"), col("pg")).as("occ"))
-      .repartition(fanout)
       // gated pairs come back as a flat [a0,b0,a1,b1,…] primitive array;
       // rebuild (a,b) structs with codegen built-ins before the dedup
       .select(tfns.prefixPairsUdf(LshBucketCap, PrefixGateK)(col("occ")).as("fp"))

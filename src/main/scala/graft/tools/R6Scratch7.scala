@@ -2,10 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
-/** Round-6 batch 4: stage-by-stage timing of the CURRENT (framed-bucket)
-  * prefixJaccardCandidates shape, mirroring SparkEntry exactly.
+/** Round-6 batch 5: stage-by-stage timing of the batch-4 (fused build,
+  * short-prefix buckets, primitive buffers) prefixJaccardCandidates shape.
   */
 object R6Scratch7 {
   def main(args: Array[String]): Unit = {
@@ -40,15 +39,16 @@ object R6Scratch7 {
       .select(col("doc_id"), size(col("gs")).cast("long").as("sz"),
         explode(col("gs")).as("g"))
     val dfreq = sets.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val prefixes = sets.join(dfreq, "g")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - expr("(4*sz+4) DIV 5") + PrefixGateK)
-      .select((col("doc_id") * 2 + when(col("sz") <= 14, 1L).otherwise(0L)).as("xid"),
-        col("g"))
-    val docPrefix = prefixes.groupBy(col("xid"))
-      .agg(sort_array(collect_list(col("g"))).as("pg"))
-    val bucketRows = docPrefix.select(col("xid"), col("pg"), explode(col("pg")).as("g"))
+    val docPrefix = sets.join(dfreq, "g")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("toks"))
+      .select(
+        (col("doc_id") * 2 + when(col("sz") <= 14, 1L).otherwise(0L)).as("xid"),
+        sort_array(expr("transform(slice(toks, 1, CAST(sz - (4*sz+4) DIV 5 + " +
+          s"$PrefixGateK AS INT)), x -> x.g)")).as("pg"),
+        sort_array(expr("transform(slice(toks, 1, CAST(sz - (4*sz+4) DIV 5 + 1 AS INT)), " +
+          "x -> x.g)")).as("ps"))
+    val bucketRows = docPrefix.select(col("xid"), col("pg"), explode(col("ps")).as("g"))
     val fanout = spark.sessionState.conf.numShufflePartitions * 8
     val buckets = bucketRows.groupBy(col("g"))
       .agg(tfns.cappedPrefixAgg(LshBucketCap)(col("xid"), col("pg")).as("occ"))
@@ -63,22 +63,22 @@ object R6Scratch7 {
     val cands = gated.distinct()
       .select(expr("a DIV 2").as("doc_a"), expr("b DIV 2").as("doc_b"))
 
-    println("R6S7 prefixes_rows=" + prefixes.count())
-    println("R6S7 bucket_rows=" + bucketRows.count())
-    val occ = buckets.select((size(col("occ")) - lit(1)).as("flatlen"))
-    println("R6S7 buckets=" + buckets.count())
-    val pr = bucketRows.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1) / 2), max(col("n"))).collect()(0)
-    println(s"R6S7 pairs_scanned=${pr.get(0)} max_occ=${pr.get(1)}")
     println("R6S7 gated_rows=" + gated.count())
-
-    timeIt("s1_sets")(noop(sets))
-    timeIt("s2_dfreq")(noop(dfreq))
-    timeIt("s3_prefixes_window")(noop(prefixes))
-    timeIt("s4_docPrefix")(noop(docPrefix))
-    timeIt("s5_buckets_agg")(noop(buckets))
-    timeIt("s6_gated_pairs")(noop(gated))
-    timeIt("s7_cands_distinct")(noop(cands))
+    timeIt("s5_gated_pairs")(noop(gated))
+    timeIt("s6_cands_distinct")(noop(cands))
+    // variants to isolate the distinct cost
+    timeIt("v1_packed_key_distinct")(noop(
+      gated.select((shiftleft(col("a"), 32) + col("b")).as("pk")).distinct()))
+    timeIt("v2_groupby_count")(noop(gated.groupBy(col("a"), col("b")).count()))
+    timeIt("v3_no_fanout_distinct")(noop(
+      buckets
+        .select(tfns.prefixPairsUdf(LshBucketCap, PrefixGateK)(col("occ")).as("fp"))
+        .filter(size(col("fp")) > 0)
+        .select(explode(expr(
+          "transform(sequence(0, size(fp) DIV 2 - 1), " +
+            "i -> struct(fp[i*2] AS a, fp[i*2+1] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()))
+    ()
     spark.stop()
   }
 }
