@@ -1120,10 +1120,13 @@ object SparkEntry {
     // ---- training-pipeline ops over documents/embeddings ----
     // whitespace token counting — pure built-ins (codegen'd, no ScalaUDF)
     "q_token_counts" -> { (s, dir) =>
+      // sort first, project after — same sampling-pass rationale as
+      // q_text_profile (the split/filter token count ran twice per row)
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           tfns.tokenCountCol(col("text")).cast("long").as("tokens"))
-        .orderBy("doc_id")
     },
     // exact dedup: hash-groupBy distinct + normalized 64-bit fingerprints
     "q_dedup_exact" -> { (s, dir) =>
@@ -1135,16 +1138,24 @@ object SparkEntry {
           (count(lit(1)) - countDistinct(col("text"))).as("dupes"))
     },
     // text-analysis profile: chars / token counts / quality score /
-    // language-ID, every column replicated exactly by the DuckDB oracle
+    // language-ID, every column replicated exactly by the DuckDB oracle.
+    // SORT FIRST, project after: the range sort's sampling pass executes
+    // its child subtree, so orderBy ABOVE the profile projection ran every
+    // UDF twice per row (once for the RangePartitioner sample, once for
+    // the sort) — sorting the bare (doc_id, text) scan and projecting
+    // above the Sort keeps the UDFs at one evaluation per row (guide §2.4
+    // ordering-of-operations; measured 0.78 s → 0.40 s at sf0.1). A
+    // Project above Sort preserves the global order.
     "q_text_profile" -> { (s, dir) =>
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           length(col("text")).cast("long").as("chars"),
           tfns.tokenCountCol(col("text")).cast("long").as("tokens"),
           tfns.bpeishCountUdf(col("text")).cast("long").as("bpeish_tokens"),
           tfns.qualityScoreUdf(col("text")).as("quality"),
           tfns.langIdUdf(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
     },
     // brute-force cosine ANN baseline: top-3 neighbors per query vector
     "q_ann_top3" -> { (s, dir) =>
@@ -1378,13 +1389,21 @@ object SparkEntry {
         .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
         .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
         .distinct()
+      // SORT BEFORE the verify projection: the range sort's sampling pass
+      // executes its child, so orderBy above the jaccard projection ran
+      // the exact-Jaccard UDF twice per candidate (sample + sort). Sorting
+      // the joined candidate rows first and projecting above the Sort
+      // keeps one evaluation per candidate; the non-deterministic marking
+      // stops the optimizer pushing the >= 0.8 filter (which references
+      // the UDF column) back below the Sort, and a filtered subsequence of
+      // a sorted stream is still sorted.
       pairs
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .orderBy("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"),
           tfns.exactJaccardOnceUdf(col("ta"), col("tb")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
     },
     // n-gram Jaccard near-dup dedup — the 4th dedup family alongside exact /
     // MinHash-LSH / SimHash / embedding-cosine: candidates come straight
@@ -1402,13 +1421,15 @@ object SparkEntry {
     "q_ngram_jaccard_near_dup" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val pairs = prefixJaccardCandidates(docs)
+      // sort before the verify projection — same sampling-pass rationale
+      // as q_minhash_near_dup above
       pairs
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .orderBy("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"),
           tfns.exactJaccardOnceUdf(col("ta"), col("tb")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
     },
     // Near-dup CLUSTERING: the verified pair set is a graph and a duplicate
     // GROUP is its connected component (A~B, B~C put A,C together even when
@@ -1697,6 +1718,14 @@ object SparkEntry {
         .select(explode(tfns.idPairsUdf(col("ids"))).as("p"))
         .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
         .distinct()
+      // NOTE: the sort-below-verify rewrite that pays off for the text
+      // verifies (q_minhash/q_ngram) was tried here and measured WORSE
+      // (1.08 s vs 0.83 s): sorting before the filter ranges-exchanges
+      // every candidate row WITH its two 64-float embeddings, where the
+      // current shape sorts only the ~50 surviving skinny id pairs — the
+      // cosine re-run in the sampling pass is cheaper than moving the fat
+      // rows (guide §2.3: shuffle fewer bytes beats shuffling fewer
+      // evaluations here).
       candIds
         .join(all.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
         .join(all.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
