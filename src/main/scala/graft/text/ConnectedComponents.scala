@@ -76,6 +76,39 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // SCALE-ADAPTIVE loop partitioning (guide §2.2/§2.5): each round is
+    // four shuffles over the (shrinking) edge list, so running them at the
+    // session's shuffle.partitions costs partitions × rounds empty-task
+    // overheads on small graphs (64 × 4 × rounds tasks for a few hundred
+    // edges at verify scale). Derive the loop's width from the MEASURED
+    // canonical edge count — ~250k edge rows (≈ 4 MB) per task, clamped to
+    // the session setting so a big graph under a big session keeps its
+    // parallelism. The count is free: `e` was just materialized by the
+    // eager checkpoint. Conf is set around the loop and restored in
+    // `finally`; every job the loop runs (checkpoints, fingerprints,
+    // invariant checks, final label build) executes inside the window, and
+    // the returned labels are materialized before restore.
+    val spark = edges.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      e.count() / 250000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      // At one partition there is nothing for AQE to re-plan (every
+      // shuffle still becomes a separate stage-materialization submission)
+      // and nothing for whole-stage codegen to win (each round is a FRESH
+      // plan, so its generated classes compile cold: measured ~300 ms of
+      // the ~560 ms round cost on a 256-edge graph was first-execution
+      // compile, and interpreted execution of a one-task round is
+      // equivalent). Multi-partition loops (big graphs) keep both.
+      if (loopParts == 1) {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      }
+
     var fp = fingerprint(e)
     var converged = false
     var it = 0
@@ -89,10 +122,16 @@ object ConnectedComponents {
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
       val lmin = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // No intermediate distinct: large-star emits exactly one row per
+      // canonical edge (each {a,b}, b > a, is emitted only from the a-side
+      // group), so the only duplicates are (v, m) collisions from
+      // different source edges — smin's min is duplicate-insensitive and
+      // the round-final distinct collapses them, making `next` SET-
+      // identical with or without it. Dropping it removes one full
+      // exchange (and its stage) from every round.
       val large = sym.join(lmin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
 
       // SMALL-STAR on the canonical (parent = hi, child = lo) list: every
       // parent u re-links its children (all < u) and itself to the child
@@ -133,6 +172,11 @@ object ConnectedComponents {
     val result = labels.union(roots).localCheckpoint(true)
     e.unpersist(); nodes.unpersist()
     (result, it)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    }
   }
 
   /** Cheap order-insensitive convergence fingerprint of an edge set:
