@@ -922,13 +922,25 @@ object SparkEntry {
       val inA = col("user_id") % 3 =!= 0
       val inB = col("user_id") % 3 =!= 1
       val tol = greatest(lit(2.0), col("users_union") * 0.02)
-      t(s, dir, "events").agg(
+      // Dedup users FIRST (one map-side-partial groupBy of the scan), then
+      // every population count is a plain conditional count and each HLL
+      // ingests each user once: the original single-agg form computed four
+      // countDistincts in one aggregate, which plans as a 4-way Expand —
+      // every scanned row multiplied into 4 distinct-group rows before the
+      // exchange. HLL states are bit-identical either way (register-max is
+      // insertion-multiplicity- and order-invariant), and the exact counts
+      // are the same distinct counts. Same one-scan pass count; 4x fewer
+      // rows into the wide aggregation.
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .agg(
         fns.hllLongAgg(when(inA, col("user_id"))).as("a"),
         fns.hllLongAgg(when(inB, col("user_id"))).as("b"),
-        countDistinct(when(inA, col("user_id"))).as("users_a"),
-        countDistinct(when(inB, col("user_id"))).as("users_b"),
-        countDistinct(when(inA && inB, col("user_id"))).as("users_inter"),
-        countDistinct(col("user_id")).as("users_union"))
+        count(when(inA, 1)).as("users_a"),
+        count(when(inB, 1)).as("users_b"),
+        count(when(inA && inB, 1)).as("users_inter"),
+        count(lit(1)).as("users_union"))
       // one-pass struct UDF: all three numbers from a single
       // deserialize+merge of the two states (the scalar accessors each
       // redo the pass — 3× the work per group in a grouped query)
@@ -1753,10 +1765,19 @@ object SparkEntry {
         .select(col("window.start").cast("date").as("day"), col("event_type"),
           fns.hllCardinality(col("hll")).as("users"), col("n"))
       val sink = "q_stream_windowed_out"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // same scoped state-partition sizing as the other streaming rows
+      // (q_stream_sessions rationale): every batch pays a state-store
+      // instance per partition, and this row alone was still running its
+      // windowed HLL state at the session's 64
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          agg.writeStream.format("memory").queryName(sink)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table(sink).orderBy("day", "event_type")
     },
