@@ -1535,9 +1535,10 @@ object SparkEntry {
     //    q_ngram_jaccard_near_dup shape, here over the survivor subset
     //    where bucket occupancy is strictly smaller);
     //  * the removal set joins back as an equi left_anti join (shuffle-
-    //    bounded; at 100 TB the profile subtree is shared by the funnel
-    //    branches via checkpoint/persist of `surv` — at verify scale the
-    //    recompute is cheaper than the cache).
+    //    bounded); the profile subtree is shared by the funnel branches
+    //    via an eager localCheckpoint of `surv` (measured win this round —
+    //    see the inline note at the checkpoint; on a multi-executor
+    //    cluster swap for reliable checkpoint/persist).
     // The quality threshold compares doubles that are bit-identical across
     // engines (q_text_profile proves the formula replication), so the 0.85
     // cut is deterministic.
@@ -1555,12 +1556,24 @@ object SparkEntry {
         count(lit(1)).as("docs_total"),
         count(when(langOk, 1)).as("lang_kept"),
         count(when(qOk, 1)).as("quality_kept"))
+      // Survivors MATERIALIZED once (eager localCheckpoint, inside the
+      // timed region of every invocation — no cross-run reuse): the
+      // funnel references this subtree ~6 times (candidate generator,
+      // both verify join sides, anti-join, exact-kept and kept-tokens
+      // aggregates), each recomputing the 4 profile UDFs + the dedup
+      // groupBy. Round 5 measured recompute cheaper than caching at
+      // verify scale; after this round's 5x candidate-generator speedup
+      // the balance flipped — 3.05 s → 2.20 s at sf0.1 (R6Scratch14,
+      // result parity exact). At 100 TB this is the documented
+      // checkpoint/persist-of-surv shape (guide §5: cache only what is
+      // reused AND expensive to recompute).
       val surv = prof.filter(qOk)
         .groupBy(col("fp"))
         .agg(min_by(struct(col("doc_id"), col("text"), col("tokens")),
           col("doc_id")).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
           col("r.tokens").as("tokens"))
+        .localCheckpoint(true)
       val removal = prefixJaccardCandidates(surv.select(col("doc_id"), col("text")))
         .join(surv.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(surv.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
