@@ -40,21 +40,21 @@ object PlanDump {
       graft.SparkEntry.queries("q_token_counts")(spark, sf))
     dump("q_minhash_near_dup (one signature pass: capped bucket agg + in-bucket pair expansion, id-dedup before exact-Jaccard verify)",
       graft.SparkEntry.queries("q_minhash_near_dup")(spark, sf))
-    dump("q_ann_lsh_recall (broadcast probes, semi-join probe-bucket prune BEFORE capped agg, max_by top-1)",
+    dump("q_ann_lsh_recall (r6: probes collected once, driver-side banding; broadcast-map bucket prune BEFORE capped agg, cosine vs broadcast probe matrix, max_by top-1)",
       graft.SparkEntry.queries("q_ann_lsh_recall")(spark, sf))
     dump("q_embed_near_dup (single-shuffle capped bucket grouping, pair dedup before cosine verify)",
       graft.SparkEntry.queries("q_embed_near_dup")(spark, sf))
     dump("q_simhash_near_dup (simhash bands via built-ins, tagged capped buckets carry the fingerprint, codegen bit_count gate on the pair stream — no corpus join-back)",
       graft.SparkEntry.queries("q_simhash_near_dup")(spark, sf))
-    dump("q_ann_ivf_recall (IVF: broadcast probe cells, single-cell index equi-join, no dedup needed)",
+    dump("q_ann_ivf_recall (r6: IVF cells assigned on the driver for the collected probes; single-cell index equi-join, no dedup needed)",
       graft.SparkEntry.queries("q_ann_ivf_recall")(spark, sf))
     dump("q_salted_agg (skew-defusing two-phase: exchange on (key, salt) then on key)",
       graft.SparkEntry.queries("q_salted_agg")(spark, sf))
-    dump("q_hll_set_algebra (ONE pruned scan: conditional HLL aggs; the Expand node feeds only the oracle-side COUNT(DISTINCT)s)",
+    dump("q_hll_set_algebra (r6: users deduped FIRST — map-side-partial distinct, then conditional counts + HLLs; the 4-way Expand of the one-agg form is gone)",
       graft.SparkEntry.queries("q_hll_set_algebra")(spark, sf))
-    dump("q_ngram_jaccard_near_dup (count-gated prefix join: df agg -> per-doc rank window -> capped bucket agg -> fan-out repartition -> codegen pair expansion -> shared-count gate -> exact verify)",
+    dump("q_ngram_jaccard_near_dup (r6 count-gated prefix join: df agg -> ONE per-doc prefix-build agg -> short-prefix framed buckets carrying K-prefix arrays -> local merge-intersect gate -> sort-then-verify)",
       graft.SparkEntry.queries("q_ngram_jaccard_near_dup")(spark, sf))
-    dump("q_corpus_curation (funnel: ONE conditional-agg scan for stages 1-3, min_by exact dedup, prefix-join near-dup removal via left_anti)",
+    dump("q_corpus_curation (funnel: ONE conditional-agg scan for stages 1-3, min_by exact dedup materialized once per run, prefix-join near-dup removal via left_anti)",
       graft.SparkEntry.queries("q_corpus_curation")(spark, sf))
     dump("q_token_budget_sample (ONE profile scan, ONE stratum exchange: running cumsum + full-partition budget sum as two Window nodes over the same sort)",
       graft.SparkEntry.queries("q_token_budget_sample")(spark, sf))
